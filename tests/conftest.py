@@ -1,0 +1,63 @@
+"""Shared test fixtures.
+
+Tests run on CPU with 8 virtual XLA devices so that every pjit/sharding
+path (the v5e-8-shaped mesh) is exercised without TPU hardware — set up
+before JAX is first imported anywhere in the test process.
+"""
+
+import os
+import sys
+import types
+
+# Must happen before any `import jax` in the test session.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_ROOT = "/root/reference"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def reference():
+    """Import reference (upstream) modules as a golden oracle.
+
+    The reference's pure-Python metric/parsing layers run fine on CPU;
+    we compare our implementations against them directly instead of
+    hand-maintaining golden files.  Missing heavy deps (wandb) are
+    stubbed.  Skips if the reference checkout is absent.
+    """
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference checkout not available")
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    if "wandb" not in sys.modules:
+        wandb_stub = types.ModuleType("wandb")
+        wandb_stub.Table = object
+        wandb_stub.Image = object
+        sys.modules["wandb"] = wandb_stub
+
+    import importlib
+
+    ref = types.SimpleNamespace()
+    ref.mr_utils = importlib.import_module("eval.mr_utils")
+    ref.mr_eval = importlib.import_module("eval.mr_eval")
+    ref.utils = importlib.import_module("utils.utils")
+    return ref
+
+
+@pytest.fixture(scope="session")
+def rng():
+    import numpy as np
+
+    return np.random.default_rng(0)
