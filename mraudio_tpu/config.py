@@ -1,0 +1,379 @@
+"""Typed configuration for the whole framework.
+
+One schema consolidates what the reference scatters across argparse
+flags (``evaluate.py:63-78``, ``finetune.py:42-61``), hardcoded model
+constants (``models/xinstructblip.py:70-77,120``), hardcoded trainer
+hyperparameters (``utils/trainer.py:31,59-66``), the dataset→n_frms
+mapping (``evaluate.py:15-16``), and the documentation-only LAVIS YAML
+(``models/vicuna7b_v2.yaml``).  Defaults reproduce the reference's live
+values; everything is YAML round-trippable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+def _fields_from_dict(cls, data: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        value = data[f.name]
+        if dataclasses.is_dataclass(f.type) and isinstance(value, dict):
+            value = f.type.from_dict(value)
+        elif isinstance(value, dict) and hasattr(f.type, "from_dict"):
+            value = f.type.from_dict(value)
+        kwargs[f.name] = value
+    return cls(**kwargs)
+
+
+class _ConfigBase:
+    @classmethod
+    def from_dict(cls, data: dict):
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in data:
+                continue
+            value = data[f.name]
+            sub = _DATACLASS_FIELD_TYPES.get((cls.__name__, f.name))
+            if sub is not None and isinstance(value, dict):
+                value = sub.from_dict(value)
+            kwargs[f.name] = value
+        return cls(**kwargs)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_yaml(cls, path: str):
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})
+
+    def to_yaml(self, path: str) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+    def replace(self, **kwargs):
+        return dataclasses.replace(self, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# Model components
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ViTConfig(_ConfigBase):
+    """EVA-ViT-g/14 frame encoder (reference binds LAVIS
+    ``create_eva_vit_g``, ``models/xinstructblip.py:658-666``): 224² → 257
+    patch tokens × 1408 features, 39 transformer blocks."""
+
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1408
+    depth: int = 39
+    num_heads: int = 16
+    mlp_dim: int = 6144
+    use_class_token: bool = True
+    layer_norm_eps: float = 1e-6
+    dtype: str = "bfloat16"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + int(self.use_class_token)
+
+
+@dataclass(frozen=True)
+class BeatsConfig(_ConfigBase):
+    """BEATs iter3+ audio encoder (reference binds LAVIS ``BeatsEncoder``,
+    ``models/xinstructblip.py:670-676``): 128-mel fbank patches → 768-dim
+    tokens, 12 transformer layers with gated relative position bias."""
+
+    num_mel_bins: int = 128
+    patch_size: int = 16
+    patch_stride: int = 16
+    width: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    conv_pos_kernel: int = 128
+    conv_pos_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class QFormerConfig(_ConfigBase):
+    """Per-modality Q-Former: BERT-base LM with cross-attention every
+    ``cross_attention_freq`` layers and 32 learned query tokens
+    (``models/xinstructblip.py:614-655``)."""
+
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    cross_attention_freq: int = 2
+    num_query_tokens: int = 32
+    # bert-base-uncased vocab (30522) + [DEC] (xinstructblip.py:622)
+    vocab_size: int = 30523
+    max_position_embeddings: int = 512
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class LlamaConfig(_ConfigBase):
+    """Vicuna-7B v1.1 decoder (reference loads HF LlamaForCausalLM 8-bit,
+    ``models/xinstructblip.py:147-163``).  Vocab is 32000 + [PAD]
+    (``:141,154``)."""
+
+    vocab_size: int = 32001
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    intermediate_size: int = 11008
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+    max_seq_len: int = 4096
+    dtype: str = "bfloat16"
+    # "int8" quantizes base weights (the TPU counterpart of load_in_8bit);
+    # "none" keeps them in `dtype`.
+    quantization: str = "none"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclass(frozen=True)
+class LoraConfig(_ConfigBase):
+    """LoRA adapters on LLM linears (reference peft config,
+    ``models/model_utils.py:4-27``): r=8, alpha=8, dropout=0.05, all
+    linear projections except the lm_head."""
+
+    enabled: bool = True
+    rank: int = 8
+    alpha: int = 8
+    dropout: float = 0.05
+    # Names of Llama linear projections to adapt (reference targets all
+    # 8-bit linears, which in a Llama block are exactly these).
+    target_modules: tuple = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
+
+
+@dataclass(frozen=True)
+class XInstructBLIPConfig(_ConfigBase):
+    """Assembly config (hardcoded block of ``models/xinstructblip.py:68-77``
+    + the documented schema of ``models/vicuna7b_v2.yaml``)."""
+
+    modalities: tuple = ("audio", "video")
+    interleave_seconds: bool = True
+    enumerate_inputs: bool = False
+    max_txt_len: int = 128
+    max_output_txt_len: int = 64
+    max_new_tokens: int = 64
+    # Fixed token budget for one rendered timestamp (" {t} ") in the
+    # statically-shaped interleave; extra positions are attention-masked.
+    tokens_per_timestamp: int = 5
+    # Fixed token budget for the duration chunk ("{dur} ").
+    tokens_per_duration: int = 5
+    prefix: str = ""
+    postfix: str = ""
+    vit: ViTConfig = field(default_factory=ViTConfig)
+    beats: BeatsConfig = field(default_factory=BeatsConfig)
+    qformer: QFormerConfig = field(default_factory=QFormerConfig)
+    llm: LlamaConfig = field(default_factory=LlamaConfig)
+    lora: LoraConfig = field(default_factory=LoraConfig)
+
+
+# --------------------------------------------------------------------------
+# Data
+# --------------------------------------------------------------------------
+
+DATASET_N_FRMS = {"QVH": 60, "Charades_STA": 20}  # evaluate.py:15-16
+
+
+@dataclass(frozen=True)
+class AudioFrontendConfig(_ConfigBase):
+    """Mel-fbank frontend replacing LAVIS ``BeatsAudioProcessor``
+    (bound at ``evaluate.py:24``): kaldi-style 128-bin log-mel fbank over
+    16 kHz mono, split into ``n_frames`` per-clip chunks of
+    ``frame_length`` mel frames each."""
+
+    sampling_rate: int = 16000
+    num_mel_bins: int = 128
+    # STFT geometry (kaldi fbank defaults): 25 ms window, 10 ms shift.
+    frame_length_ms: float = 25.0
+    frame_shift_ms: float = 10.0
+    # Mel frames per audio chunk fed to BEATs (reference frame_length=512,
+    # evaluate.py:24).
+    mel_frames_per_chunk: int = 512
+    preemphasis: float = 0.97
+    dither: float = 0.0
+
+    @property
+    def win_length(self) -> int:
+        return int(self.sampling_rate * self.frame_length_ms / 1000)
+
+    @property
+    def hop_length(self) -> int:
+        return int(self.sampling_rate * self.frame_shift_ms / 1000)
+
+
+@dataclass(frozen=True)
+class DataConfig(_ConfigBase):
+    dataset: str = "QVH"
+    video_folder: str = ""
+    annotation_file: str = ""
+    train_annotation_file: str = ""
+    val_annotation_file: str = ""
+    n_frms: int = 60
+    image_size: int = 224
+    # "uniform" for eval, "random" (per-interval) for train
+    # (processors/alpro_processors.py:24-33).
+    sampling: str = "uniform"
+    # train-time RandomResizedCrop scale range (AlproVideoTrainProcessor
+    # min_scale/max_scale, processors/alpro_processors.py:41).
+    min_scale: float = 0.9
+    max_scale: float = 1.0
+    # Video decode source: "native" (C++ libav), "synthetic" (procedural,
+    # for tests/bench), "npy" (pre-extracted arrays).
+    video_source: str = "native"
+    audio: AudioFrontendConfig = field(default_factory=AudioFrontendConfig)
+    num_chunks: int = 1
+    chunk_idx: int = 0
+    prefetch_depth: int = 2
+
+    @classmethod
+    def for_dataset(cls, dataset: str, **kwargs) -> "DataConfig":
+        if dataset not in DATASET_N_FRMS:
+            raise ValueError(
+                f"unknown dataset {dataset!r}; expected one of {sorted(DATASET_N_FRMS)}"
+            )
+        return cls(dataset=dataset, n_frms=DATASET_N_FRMS[dataset], **kwargs)
+
+
+# --------------------------------------------------------------------------
+# Parallelism / training / top-level
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MeshConfig(_ConfigBase):
+    """Device mesh axes.  Data parallelism over ``data``; tensor
+    parallelism of the LLM (and width-sharding of encoders) over
+    ``model``.  The reference's only strategy is DP via DDP
+    (``utils/trainer.py:69``); TP is this framework's addition so a 7B
+    LLM fits sharded across a v5e-8."""
+
+    data: int = 1
+    model: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model
+
+
+@dataclass(frozen=True)
+class TrainConfig(_ConfigBase):
+    lr: float = 3e-4                 # utils/trainer.py:62,65
+    weight_decay: float = 0.05       # utils/trainer.py:59
+    betas: tuple = (0.9, 0.999)      # utils/trainer.py:63
+    warmup_steps: int = 1000         # utils/trainer.py:66
+    warmup_start_lr: float = 1e-8    # utils/trainer.py:66
+    min_lr: float = 0.0              # utils/trainer.py:66
+    accum_grad_iters: int = 2        # utils/trainer.py:31
+    max_epoch: int = 50              # finetune.py:54
+    val_freq: int = 1
+    save_freq: int = 1
+    batch_size: int = 1
+    seed: int = 42
+    output_dir: str = "output"
+    resume_ckpt_path: str = ""
+
+
+@dataclass(frozen=True)
+class RunConfig(_ConfigBase):
+    """Top-level config: one object per entry point."""
+
+    model_name: str = "X-InstructBLIP"  # or "VideoLLaMA"
+    model: XInstructBLIPConfig = field(default_factory=XInstructBLIPConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    # Paths to converted pretrained weights (empty = random init).
+    llm_weights: str = ""
+    vit_weights: str = ""
+    beats_weights: str = ""
+    video_qformer_weights: str = ""
+    audio_qformer_weights: str = ""
+    blip2_stage1_weights: str = ""
+    tokenizer_path: str = ""
+
+
+_DATACLASS_FIELD_TYPES = {
+    ("XInstructBLIPConfig", "vit"): ViTConfig,
+    ("XInstructBLIPConfig", "beats"): BeatsConfig,
+    ("XInstructBLIPConfig", "qformer"): QFormerConfig,
+    ("XInstructBLIPConfig", "llm"): LlamaConfig,
+    ("XInstructBLIPConfig", "lora"): LoraConfig,
+    ("DataConfig", "audio"): AudioFrontendConfig,
+    ("RunConfig", "model"): XInstructBLIPConfig,
+    ("RunConfig", "data"): DataConfig,
+    ("RunConfig", "train"): TrainConfig,
+    ("RunConfig", "mesh"): MeshConfig,
+}
+
+
+# --------------------------------------------------------------------------
+# Tiny presets (tests / compile smoke)
+# --------------------------------------------------------------------------
+
+
+def tiny_model_config(
+    modalities: tuple = ("audio", "video"), quantization: str = "none"
+) -> XInstructBLIPConfig:
+    """A few-thousand-parameter model with the full architecture: every
+    wiring path (interleave, cross-attn frequency, LoRA, decode) is
+    exercised at toy width so tests compile in seconds."""
+    return XInstructBLIPConfig(
+        modalities=modalities,
+        vit=ViTConfig(image_size=28, patch_size=14, width=32, depth=2, num_heads=2, mlp_dim=64),
+        beats=BeatsConfig(
+            num_mel_bins=16, patch_size=4, patch_stride=4, width=32, depth=2,
+            num_heads=2, mlp_dim=64, conv_pos_kernel=8, conv_pos_groups=2,
+        ),
+        qformer=QFormerConfig(
+            hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+            num_query_tokens=4, vocab_size=128, max_position_embeddings=64,
+        ),
+        llm=LlamaConfig(
+            vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=4, intermediate_size=128, max_seq_len=2048,
+            quantization=quantization,
+        ),
+        lora=LoraConfig(rank=2, alpha=2),
+        max_new_tokens=8,
+        tokens_per_timestamp=3,
+        tokens_per_duration=3,
+    )
+
+
+def tiny_data_config(n_frms: int = 4) -> DataConfig:
+    return DataConfig(
+        dataset="QVH",
+        n_frms=n_frms,
+        image_size=28,
+        video_source="synthetic",
+        audio=AudioFrontendConfig(num_mel_bins=16, mel_frames_per_chunk=32),
+    )
