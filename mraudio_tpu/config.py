@@ -101,12 +101,15 @@ class BeatsConfig(_ConfigBase):
     num_mel_bins: int = 128
     patch_size: int = 16
     patch_stride: int = 16
+    conv_dim: int = 512
     width: int = 768
     depth: int = 12
     num_heads: int = 12
     mlp_dim: int = 3072
     conv_pos_kernel: int = 128
     conv_pos_groups: int = 16
+    rel_pos_buckets: int = 320
+    rel_pos_max_distance: int = 800
     layer_norm_eps: float = 1e-5
     dtype: str = "bfloat16"
 
@@ -350,8 +353,9 @@ def tiny_model_config(
         modalities=modalities,
         vit=ViTConfig(image_size=28, patch_size=14, width=32, depth=2, num_heads=2, mlp_dim=64),
         beats=BeatsConfig(
-            num_mel_bins=16, patch_size=4, patch_stride=4, width=32, depth=2,
-            num_heads=2, mlp_dim=64, conv_pos_kernel=8, conv_pos_groups=2,
+            num_mel_bins=16, patch_size=4, patch_stride=4, conv_dim=16, width=32,
+            depth=2, num_heads=2, mlp_dim=64, conv_pos_kernel=8, conv_pos_groups=2,
+            rel_pos_buckets=16, rel_pos_max_distance=32,
         ),
         qformer=QFormerConfig(
             hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,

@@ -1,0 +1,151 @@
+"""BEATs-style audio encoder in JAX.
+
+Functional re-creation of the encoder the reference binds via LAVIS
+``BeatsEncoder`` (``models/xinstructblip.py:670-676``; checkpoint
+``BEATs_iter3_plus_AS2M.pt``): a ViT-style patch embedding over the
+log-mel fbank, a convolutional relative positional embedding, and 12
+post-norm transformer layers with gated (T5-bucketed) relative position
+bias.  ``num_features`` = 768.
+
+Input here is one audio chunk's fbank (N, T_mel, n_mels) — chunks are
+folded into the batch dimension by the assembly exactly like video
+frames, replacing the reference's per-chunk Python loop
+(``models/xinstructblip.py:271-275``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mraudio_tpu.config import BeatsConfig
+from mraudio_tpu.models.layers import Attention, LayerNormFp32, Mlp
+
+
+def t5_relative_buckets(
+    relative_position: np.ndarray, num_buckets: int, max_distance: int
+) -> np.ndarray:
+    """Bidirectional T5 bucketing of relative positions (host-side,
+    static sequence length)."""
+    ret = np.zeros_like(relative_position)
+    n_buckets = num_buckets // 2
+    ret += (relative_position > 0).astype(np.int64) * n_buckets
+    rel = np.abs(relative_position)
+
+    max_exact = n_buckets // 2
+    is_small = rel < max_exact
+    large = max_exact + (
+        np.log(np.maximum(rel, 1) / max_exact)
+        / np.log(max_distance / max_exact)
+        * (n_buckets - max_exact)
+    ).astype(np.int64)
+    large = np.minimum(large, n_buckets - 1)
+    ret += np.where(is_small, rel, large)
+    return ret
+
+
+class GatedRelativePositionBias(nn.Module):
+    """T5-bucketed relative position bias, gated per-head by the query
+    (BEATs' ``gru_rel_pos``)."""
+
+    cfg: BeatsConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, q: jax.Array, seq_len: int) -> jax.Array:
+        cfg = self.cfg
+        rel = np.arange(seq_len)[None, :] - np.arange(seq_len)[:, None]
+        buckets = t5_relative_buckets(
+            rel, cfg.rel_pos_buckets, cfg.rel_pos_max_distance
+        )
+        table = self.param(
+            "rel_attn_bias",
+            nn.initializers.normal(0.02),
+            (cfg.rel_pos_buckets, cfg.num_heads),
+            jnp.float32,
+        )
+        bias = table[jnp.asarray(buckets)]  # (L, L, H)
+        bias = bias.transpose(2, 0, 1)[None]  # (1, H, L, L)
+
+        # Per-position gate from the query vector: scalar in (0, 1) scaled
+        # to (0, 2), multiplying the shared bias.
+        gate_logits = nn.DenseGeneral(
+            features=1, axis=-1, dtype=self.dtype, param_dtype=jnp.float32, name="gate"
+        )(q)  # (B, L, H, 1)
+        gate = 2.0 * jax.nn.sigmoid(gate_logits.astype(jnp.float32))
+        gate = gate.transpose(0, 2, 1, 3)  # (B, H, L, 1)
+        return gate * bias
+
+
+class BeatsBlock(nn.Module):
+    """Post-LN transformer layer (wav2vec2-style, layer_norm_first=False)."""
+
+    cfg: BeatsConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, bias):
+        cfg = self.cfg
+        h = Attention(num_heads=cfg.num_heads, dtype=self.dtype, name="attn")(
+            x, bias=bias
+        )
+        x = LayerNormFp32(epsilon=cfg.layer_norm_eps, name="norm1")(x + h)
+        h = Mlp(hidden_dim=cfg.mlp_dim, dtype=self.dtype, name="mlp")(x)
+        return LayerNormFp32(epsilon=cfg.layer_norm_eps, name="norm2")(x + h)
+
+
+class BeatsEncoder(nn.Module):
+    cfg: BeatsConfig
+
+    @nn.compact
+    def __call__(self, fbank: jnp.ndarray) -> jnp.ndarray:
+        """fbank: (N, T_mel, n_mels) normalized log-mels.
+        Returns (N, tokens, width)."""
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        n, t, f = fbank.shape
+        p, s = cfg.patch_size, cfg.patch_stride
+
+        # Patch embedding as one GEMM over (p, p) fbank tiles.
+        gt, gf = t // s, f // s
+        x = fbank[:, : gt * s, : gf * s].reshape(n, gt, s, gf, s)
+        x = x.transpose(0, 1, 3, 2, 4).reshape(n, gt * gf, s * s)
+        x = nn.Dense(
+            cfg.conv_dim, dtype=dtype, param_dtype=jnp.float32, name="patch_embed"
+        )(x.astype(dtype))
+
+        x = LayerNormFp32(epsilon=cfg.layer_norm_eps, name="patch_norm")(x)
+        if cfg.conv_dim != cfg.width:
+            x = nn.Dense(
+                cfg.width, dtype=dtype, param_dtype=jnp.float32, name="post_extract_proj"
+            )(x)
+
+        # Convolutional positional embedding (grouped conv1d + GELU),
+        # added residually.
+        pos = nn.Conv(
+            features=cfg.width,
+            kernel_size=(cfg.conv_pos_kernel,),
+            padding="SAME",
+            feature_group_count=cfg.conv_pos_groups,
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            name="pos_conv",
+        )(x)
+        x = x + nn.gelu(pos)
+        x = LayerNormFp32(epsilon=cfg.layer_norm_eps, name="pre_encoder_norm")(x)
+
+        seq_len = x.shape[1]
+        rel_bias = GatedRelativePositionBias(cfg, dtype, name="rel_pos_bias")
+
+        for i in range(cfg.depth):
+            # The bias table is shared; the gate sees the current layer's
+            # input as its query proxy.
+            bias = rel_bias(
+                x.reshape(n, seq_len, cfg.num_heads, cfg.width // cfg.num_heads),
+                seq_len,
+            )
+            x = BeatsBlock(cfg, dtype, name=f"block_{i}")(x, bias)
+        return x

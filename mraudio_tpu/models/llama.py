@@ -1,0 +1,267 @@
+"""Llama/Vicuna decoder in JAX with embedding-level inputs and KV cache.
+
+Functional re-creation of the decoder path the reference drives through
+HF ``LlamaForCausalLM`` (``models/xinstructblip.py:147-175``):
+
+* accepts precomputed ``inputs_embeds`` (the multimodal interleave never
+  goes through token ids — ``models/xinstructblip.py:387-392,598-604``);
+* position ids derive from the attention mask (cumsum-1, clamped), so
+  left-padded generation and interior timestamp padding behave exactly
+  like HF's masked-position handling;
+* the LM head always computes in fp32 (reference ``CastOutputToFloat``,
+  ``models/xinstructblip.py:22-23,159``);
+* base weights optionally int8-quantized per output channel — the TPU
+  counterpart of ``load_in_8bit`` (``models/xinstructblip.py:151``) —
+  with LoRA adapters on every projection (``models/model_utils.py``).
+
+TPU-first: the decode loop lives in ``mraudio_tpu.infer.generate`` as a
+``lax.scan`` over a preallocated static-shape KV cache; this module only
+defines the per-call computation (prefill writes the cache slice,
+single-token steps extend it).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mraudio_tpu.config import LlamaConfig, LoraConfig
+from mraudio_tpu.models.layers import NEG_INF, RMSNorm
+
+
+def rope_frequencies(head_dim: int, theta: float) -> jnp.ndarray:
+    return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """x: (B, S, H, D); positions: (B, S) int32."""
+    freqs = rope_frequencies(x.shape[-1], theta)  # (D/2,)
+    angles = positions[..., None].astype(jnp.float32) * freqs  # (B, S, D/2)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class LlamaLinear(nn.Module):
+    """Projection with optional int8 base weights and LoRA adapter."""
+
+    features: int
+    cfg: LlamaConfig
+    lora: Optional[LoraConfig] = None
+    lora_target: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        dtype = jnp.dtype(self.cfg.dtype)
+        in_features = x.shape[-1]
+
+        if self.cfg.quantization == "int8":
+            w_q = self.param(
+                "w_int8",
+                nn.initializers.zeros_init(),
+                (in_features, self.features),
+                jnp.int8,
+            )
+            scale = self.param(
+                "scale",
+                nn.initializers.constant(1.0 / 127.0),
+                (self.features,),
+                jnp.float32,
+            )
+            # Int8 matmul with fp32 accumulation, then per-channel rescale:
+            # keeps the MXU in its int8 fast path instead of dequantizing
+            # weights to bf16 first.
+            acc = jax.lax.dot_general(
+                x.astype(jnp.int8) if x.dtype == jnp.int8 else x.astype(dtype),
+                w_q.astype(dtype),
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y = (acc * scale).astype(dtype)
+        else:
+            kernel = self.param(
+                "kernel",
+                nn.initializers.normal(0.02),
+                (in_features, self.features),
+                jnp.float32,
+            )
+            y = jax.lax.dot_general(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+
+        if self.lora is not None and self.lora.enabled and self.lora_target:
+            r = self.lora.rank
+            a = self.param(
+                "lora_a",
+                nn.initializers.normal(1.0 / r),
+                (in_features, r),
+                jnp.float32,
+            )
+            b = self.param("lora_b", nn.initializers.zeros, (r, self.features), jnp.float32)
+            h = x
+            if not deterministic and self.lora.dropout > 0:
+                h = nn.Dropout(rate=self.lora.dropout, deterministic=False)(h)
+            delta = (h.astype(dtype) @ a.astype(dtype)) @ b.astype(dtype)
+            y = y + delta * (self.lora.alpha / r)
+        return y
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+    lora: Optional[LoraConfig]
+
+    @nn.compact
+    def __call__(self, x, mask, positions, cache=None, cache_index=None,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        h, d = cfg.num_heads, cfg.head_dim
+        kv_h = cfg.num_kv_heads
+
+        def lin(name, feats, target):
+            return LlamaLinear(
+                feats, cfg, lora=self.lora,
+                lora_target=target and name in (self.lora.target_modules if self.lora else ()),
+                name=name,
+            )
+
+        q = lin("q_proj", h * d, True)(x, deterministic).reshape(b, s, h, d)
+        k = lin("k_proj", kv_h * d, True)(x, deterministic).reshape(b, s, kv_h, d)
+        v = lin("v_proj", kv_h * d, True)(x, deterministic).reshape(b, s, kv_h, d)
+
+        q = apply_rope(q, positions, cfg.rope_theta)
+        k = apply_rope(k, positions, cfg.rope_theta)
+
+        if cache is not None:
+            # cache["k"]: (B, max_len, kv_h, d).  Write this call's keys at
+            # [cache_index, cache_index + s).
+            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
+            new_cache = {"k": ck, "v": cv}
+            k_full, v_full = ck, cv
+        else:
+            new_cache = None
+            k_full, v_full = k, v
+
+        if kv_h != h:
+            rep = h // kv_h
+            k_full = jnp.repeat(k_full, rep, axis=2)
+            v_full = jnp.repeat(v_full, rep, axis=2)
+
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_full, preferred_element_type=jnp.float32
+        ) * (d ** -0.5)
+        logits = jnp.where(mask, logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v_full)
+        out = out.reshape(b, s, h * d)
+        out = lin("o_proj", cfg.hidden_size, True)(out, deterministic)
+        return out, new_cache
+
+
+class LlamaMlp(nn.Module):
+    cfg: LlamaConfig
+    lora: Optional[LoraConfig]
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.cfg
+
+        def lin(name, feats):
+            return LlamaLinear(
+                feats, cfg, lora=self.lora,
+                lora_target=name in (self.lora.target_modules if self.lora else ()),
+                name=name,
+            )
+
+        gate = lin("gate_proj", cfg.intermediate_size)(x, deterministic)
+        up = lin("up_proj", cfg.intermediate_size)(x, deterministic)
+        return lin("down_proj", cfg.hidden_size)(nn.silu(gate) * up, deterministic)
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+    lora: Optional[LoraConfig]
+
+    @nn.compact
+    def __call__(self, x, mask, positions, cache=None, cache_index=None,
+                 deterministic: bool = True):
+        h = RMSNorm(epsilon=self.cfg.rms_norm_eps, name="input_norm")(x)
+        h, new_cache = LlamaAttention(self.cfg, self.lora, name="attn")(
+            h, mask, positions, cache, cache_index, deterministic
+        )
+        x = x + h
+        h = RMSNorm(epsilon=self.cfg.rms_norm_eps, name="post_attn_norm")(x)
+        h = LlamaMlp(self.cfg, self.lora, name="mlp")(h, deterministic)
+        return x + h, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Decoder stack.  Call with either ``input_ids`` or ``inputs_embeds``.
+
+    ``mask`` must be a bool attend-mask broadcastable to
+    (B, heads, q_len, kv_len) — the caller owns causal/padding semantics
+    (built in ``mraudio_tpu.infer.generate`` /
+    ``mraudio_tpu.models.xinstructblip``).
+    """
+
+    cfg: LlamaConfig
+    lora: Optional[LoraConfig] = None
+
+    def setup(self):
+        self.embed_tokens = nn.Embed(
+            self.cfg.vocab_size,
+            self.cfg.hidden_size,
+            param_dtype=jnp.float32,
+            name="embed_tokens",
+        )
+        self.blocks = [
+            LlamaBlock(self.cfg, self.lora, name=f"layer_{i}")
+            for i in range(self.cfg.num_layers)
+        ]
+        self.final_norm = RMSNorm(epsilon=self.cfg.rms_norm_eps, name="final_norm")
+        self.lm_head = LlamaLinear(self.cfg.vocab_size, self.cfg, name="lm_head")
+
+    def embed(self, input_ids: jax.Array) -> jax.Array:
+        return self.embed_tokens(input_ids).astype(jnp.dtype(self.cfg.dtype))
+
+    def __call__(
+        self,
+        inputs_embeds: jax.Array,      # (B, S, D)
+        mask: jax.Array,               # bool, broadcastable (B, 1|H, S, KV)
+        positions: jax.Array,          # (B, S) int32
+        cache: Optional[list] = None,  # per-layer {"k","v"} or None
+        cache_index: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        return_hidden: bool = False,
+    ):
+        x = inputs_embeds.astype(jnp.dtype(self.cfg.dtype))
+        new_cache = []
+        for i, block in enumerate(self.blocks):
+            layer_cache = cache[i] if cache is not None else None
+            x, c = block(x, mask, positions, layer_cache, cache_index, deterministic)
+            new_cache.append(c)
+        x = self.final_norm(x)
+        if return_hidden:
+            return x, (new_cache if cache is not None else None)
+        # fp32 logits (reference CastOutputToFloat).
+        logits = self.lm_head(x).astype(jnp.float32)
+        return logits, (new_cache if cache is not None else None)
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int) -> list:
+    """Preallocate a static-shape KV cache."""
+    shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    dtype = jnp.dtype(cfg.dtype)
+    return [
+        {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        for _ in range(cfg.num_layers)
+    ]
