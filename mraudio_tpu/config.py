@@ -362,14 +362,16 @@ def tiny_model_config(
             num_query_tokens=4, vocab_size=128, max_position_embeddings=64,
         ),
         llm=LlamaConfig(
-            vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+            vocab_size=260, hidden_size=64, num_layers=2, num_heads=4,
             num_kv_heads=4, intermediate_size=128, max_seq_len=2048,
             quantization=quantization,
         ),
         lora=LoraConfig(rank=2, alpha=2),
+        max_txt_len=48,
+        max_output_txt_len=24,
         max_new_tokens=8,
-        tokens_per_timestamp=3,
-        tokens_per_duration=3,
+        tokens_per_timestamp=6,
+        tokens_per_duration=6,
     )
 
 

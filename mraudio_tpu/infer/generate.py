@@ -1,0 +1,78 @@
+"""Batched greedy decoding over a static KV cache.
+
+The decode loop the reference delegates to HF ``generate``
+(``models/xinstructblip.py:387-392``: greedy, ``max_new_tokens=64``)
+expressed TPU-first: prefill writes the whole multimodal prefix into a
+preallocated cache in one pass, then a ``lax.scan`` emits exactly
+``max_new_tokens`` tokens (static trip count — no data-dependent Python
+control flow, one compilation for the whole eval run).  Rows that hit
+EOS keep emitting EOS (HF pads finished rows and the reference then
+rewrites pad→eos at ``models/xinstructblip.py:393``; emitting EOS
+directly is the same observable string after decode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mraudio_tpu.models.llama import LlamaModel, init_cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "max_new_tokens", "eos_id"),
+)
+def greedy_generate(
+    model: LlamaModel,
+    params,
+    prefix_embeds: jax.Array,   # (B, S, D)
+    prefix_mask: jax.Array,     # (B, S) {0,1}
+    max_new_tokens: int,
+    eos_id: int,
+) -> jax.Array:
+    """Returns generated ids (B, max_new_tokens)."""
+    b, s, _ = prefix_embeds.shape
+    max_len = s + max_new_tokens
+    cfg = model.cfg
+
+    # Positions: mask-cumsum over the prefix, then +1 per generated token.
+    positions = jnp.cumsum(prefix_mask.astype(jnp.int32), axis=-1) - 1
+    positions = jnp.maximum(positions, 0)
+    last_pos = positions[:, -1]
+
+    # Validity over cache slots: prefix mask then ones as steps land.
+    full_mask = jnp.zeros((b, max_len), jnp.int32).at[:, :s].set(prefix_mask)
+
+    cache = init_cache(cfg, b, max_len)
+
+    # Prefill: causal within the prefix, restricted to valid slots.
+    q_idx = jnp.arange(s)[:, None]
+    k_idx = jnp.arange(max_len)[None, :]
+    causal = (k_idx <= q_idx)[None, None]                      # (1,1,S,max)
+    pad = full_mask[:, None, None, :].astype(bool)             # (B,1,1,max)
+    logits, cache = model.apply(
+        params, prefix_embeds, causal & pad, positions, cache=cache, cache_index=0
+    )
+    next_id = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)  # (B,)
+
+    def step(carry, t):
+        cache, cur_id, cur_pos, mask, done = carry
+        mask = mask.at[:, s + t].set(1)
+        embeds = model.apply(params, method=lambda m, ids: m.embed(ids), ids=cur_id[:, None])
+        attend = mask[:, None, None, :].astype(bool)
+        logits, cache = model.apply(
+            params, embeds, attend, (cur_pos + 1)[:, None],
+            cache=cache, cache_index=s + t,
+        )
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        emitted = jnp.where(done, eos_id, cur_id)
+        done = done | (cur_id == eos_id)
+        nxt = jnp.where(done, eos_id, nxt)
+        return (cache, nxt, cur_pos + 1, mask, done), emitted
+
+    init = (cache, next_id, last_pos, full_mask, jnp.zeros((b,), bool))
+    _, tokens = jax.lax.scan(step, init, jnp.arange(max_new_tokens))
+    return tokens.T  # (B, max_new_tokens)

@@ -233,6 +233,13 @@ class LlamaModel(nn.Module):
     def embed(self, input_ids: jax.Array) -> jax.Array:
         return self.embed_tokens(input_ids).astype(jnp.dtype(self.cfg.dtype))
 
+    def init_all(self, inputs_embeds, mask, positions, input_ids):
+        """Initialization entry point touching every submodule (the main
+        ``__call__`` never invokes ``embed_tokens``, so plain init would
+        skip its parameters)."""
+        _ = self.embed(input_ids)
+        return self(inputs_embeds, mask, positions)
+
     def __call__(
         self,
         inputs_embeds: jax.Array,      # (B, S, D)

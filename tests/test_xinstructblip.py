@@ -1,0 +1,132 @@
+"""End-to-end assembly tests on the tiny config (CPU, random weights)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mraudio_tpu.config import tiny_data_config, tiny_model_config
+from mraudio_tpu.data.dataset import MRDataset, collate
+from mraudio_tpu.models.xinstructblip import XInstructBLIP
+
+
+def _make_batch(tmp_path, n=2, n_frms=4):
+    import json
+
+    path = str(tmp_path / "ann.jsonl")
+    with open(path, "w") as f:
+        for i in range(n):
+            f.write(
+                json.dumps(
+                    {
+                        "vid": f"vid{i}",
+                        "qid": i,
+                        "query": f"person does thing {i}",
+                        "duration": 150,
+                        "relevant_windows": [[10, 30]],
+                    }
+                )
+                + "\n"
+            )
+    cfg = tiny_data_config(n_frms=n_frms)
+    ds = MRDataset(cfg, annotation_path=path)
+    return cfg, collate([ds.get(i) for i in range(n)], n)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_model_config()
+    model = XInstructBLIP(cfg, audio_cfg=tiny_data_config().audio)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_generate_returns_strings(tmp_path, model_and_params):
+    model, params = model_and_params
+    _, batch = _make_batch(tmp_path)
+    out = model.generate(params, batch)
+    assert isinstance(out, list) and len(out) == 2
+    assert all(isinstance(o, str) for o in out)
+
+
+def test_generate_deterministic(tmp_path, model_and_params):
+    model, params = model_and_params
+    _, batch = _make_batch(tmp_path)
+    assert model.generate(params, batch) == model.generate(params, batch)
+
+
+def test_loss_finite_and_video_sensitive(tmp_path, model_and_params):
+    model, params = model_and_params
+    _, batch = _make_batch(tmp_path)
+    loss = model.loss(params, batch)
+    assert np.isfinite(float(loss))
+
+    # different video content must change the loss (the visual path is live)
+    batch2 = batch
+    batch2.video = 255 - batch.video
+    loss2 = model.loss(params, batch2)
+    assert float(loss) != float(loss2)
+
+
+def test_loss_grad_flows_to_lora_and_qformer(tmp_path, model_and_params):
+    model, params = model_and_params
+    _, batch = _make_batch(tmp_path)
+
+    text = model.prepare_text(
+        batch.text_input, np.asarray(batch.timestamps), batch.duration,
+        text_output=batch.text_output,
+    )
+    args = (
+        jnp.asarray(batch.video), jnp.asarray(batch.audio),
+        jnp.asarray(text.qformer_ids), jnp.asarray(text.qformer_mask),
+        jnp.asarray(text.ts_ids), jnp.asarray(text.ts_mask),
+        jnp.asarray(text.dur_ids), jnp.asarray(text.dur_mask),
+        jnp.asarray(text.concat_ids), jnp.asarray(text.concat_mask),
+        jnp.asarray(text.labels),
+    )
+    grads = jax.grad(lambda p: model._loss_fn(p, *args, n_frms=4))(params)
+
+    def total_norm(tree):
+        return sum(
+            float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(tree)
+        )
+
+    lora_grads = [
+        g for path, g in jax.tree_util.tree_leaves_with_path(grads["llm"])
+        if any("lora" in str(p) for p in path)
+    ]
+    assert sum(float(jnp.sum(jnp.abs(g))) for g in lora_grads) > 0
+    assert total_norm(grads["video_qformer"]) > 0
+    assert total_norm(grads["audio_qformer"]) > 0
+    assert total_norm(grads["video_proj"]) > 0
+
+
+def test_video_only_modality(tmp_path):
+    cfg = tiny_model_config(modalities=("video",))
+    model = XInstructBLIP(cfg, audio_cfg=tiny_data_config().audio)
+    params = model.init_params(jax.random.PRNGKey(0))
+    _, batch = _make_batch(tmp_path)
+    out = model.generate(params, batch)
+    assert len(out) == 2
+    loss = model.loss(params, batch)
+    assert np.isfinite(float(loss))
+
+
+def test_prepare_text_shapes(model_and_params):
+    model, _ = model_and_params
+    cfg = model.cfg
+    ts = np.array([[0, 3, 6, 9], [0, 2, 4, 6]])
+    tb = model.prepare_text(["q one", "q two"], ts, [150, 60])
+    assert tb.ts_ids.shape == (2, 4, cfg.tokens_per_timestamp)
+    assert tb.prompt_ids.shape == (2, cfg.max_txt_len)
+    # left padding for generate
+    assert tb.prompt_mask[0, 0] == 0 and tb.prompt_mask[0, -1] == 1
+
+    tb2 = model.prepare_text(["q"], ts[:1], [9], text_output=["[[10, 20]]"])
+    assert tb2.concat_ids.shape == (1, cfg.max_txt_len + cfg.max_output_txt_len)
+    # labels: -100 on prompt part, real ids on output part, eos terminated
+    valid = tb2.labels[0] != -100
+    assert valid.sum() > 0
+    last_valid = np.where(valid)[0][-1]
+    assert tb2.concat_ids[0, last_valid] == model.llm_tokenizer.eos_token_id
