@@ -1,0 +1,82 @@
+"""Parameter partition rules (path-regex → PartitionSpec).
+
+Megatron-style tensor parallelism for the Llama decoder over the
+``model`` axis: column-parallel q/k/v and gate/up (output features
+sharded), row-parallel o_proj and down_proj (input features sharded), so
+each transformer block needs exactly one all-reduce per sublayer — the
+layout the scaling-book recipe prescribes for ICI.  LoRA adapters shard
+with their base projection (A replicated, B like the base output).  The
+encoders and Q-Formers are small relative to the LLM and stay
+replicated; batch parallelism over ``data`` covers them.
+
+The first matching rule wins; anything unmatched is replicated.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+# (regex over "a/b/c" param path, spec). Paths include the top-level
+# component key ("llm", "vit", ...) from the assembly params dict.
+LLM_RULES: list[tuple[str, P]] = [
+    # column-parallel projections: out features on "model"
+    (r"llm/.*(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$", P(None, "model")),
+    (r"llm/.*(q_proj|k_proj|v_proj|gate_proj|up_proj)/w_int8$", P(None, "model")),
+    (r"llm/.*(q_proj|k_proj|v_proj|gate_proj|up_proj)/scale$", P("model")),
+    (r"llm/.*(q_proj|k_proj|v_proj|gate_proj|up_proj)/lora_b$", P(None, "model")),
+    # row-parallel projections: in features on "model"
+    (r"llm/.*(o_proj|down_proj)/kernel$", P("model", None)),
+    (r"llm/.*(o_proj|down_proj)/w_int8$", P("model", None)),
+    (r"llm/.*(o_proj|down_proj)/scale$", P()),
+    (r"llm/.*(o_proj|down_proj)/lora_a$", P("model", None)),
+    # lm_head: vocab-sharded (argmax over a sharded axis is a cheap
+    # all-reduce of (index, value) pairs emitted by XLA)
+    (r"llm/lm_head/kernel$", P(None, "model")),
+    (r"llm/lm_head/w_int8$", P(None, "model")),
+    (r"llm/lm_head/scale$", P("model")),
+    # embeddings replicated (hidden-dim gathers would serialize decode)
+    (r"llm/embed_tokens/", P()),
+]
+
+
+def _match(path: str, rules) -> P:
+    for pattern, spec in rules:
+        if re.search(pattern, path):
+            return spec
+    return P()
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", p)) for p in path)
+
+
+def param_shardings(params, mesh: Mesh, rules=None):
+    """Pytree of NamedShardings matching ``params``."""
+    rules = LLM_RULES if rules is None else rules
+
+    def to_sharding(path, leaf):
+        spec = _match(_path_str(path), rules)
+        if len(spec) > leaf.ndim:
+            spec = P(*spec[: leaf.ndim])
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def shard_params(params, mesh: Mesh, rules=None):
+    """Place a host param tree onto the mesh per the rules."""
+    shardings = param_shardings(params, mesh, rules)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data parallelism for batch arrays."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
