@@ -1,0 +1,256 @@
+"""Training runtime: jitted train step, epoch loop, validation, ckpt.
+
+Re-provides the reference trainer (``utils/trainer.py``) TPU-first:
+
+* the train step — loss, grads over the trainable (LoRA) subtree,
+  optimizer update with gradient accumulation — is ONE jitted, donated
+  function; bf16 compute needs no GradScaler (bf16 keeps fp32's
+  exponent range, so the reference's AMP machinery has no TPU
+  counterpart);
+* validation reuses the batched generate path and scores with
+  ``eval_submission(results, results)`` exactly like the reference
+  (``utils/trainer.py:156-182``) — each record carries both GT and
+  prediction;
+* checkpoints store only the trainable subtree + optimizer state +
+  epoch (the stripping semantics of ``utils/trainer.py:184-210``), best
+  selected by MR-full-R1-avg.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mraudio_tpu.config import RunConfig
+from mraudio_tpu.data.dataset import BatchLoader, MRDataset
+from mraudio_tpu.eval.mr_eval import eval_submission
+from mraudio_tpu.models.xinstructblip import XInstructBLIP
+from mraudio_tpu.text.postprocess import moment_str_to_list, post_process
+from mraudio_tpu.train import checkpoint as ckpt
+from mraudio_tpu.train.optim import (
+    build_optimizer,
+    lavis_warmup_cosine_schedule,
+    merge_params,
+    split_trainable,
+)
+from mraudio_tpu.utils.logging import MetricLogger, SmoothedValue
+
+logger = logging.getLogger("mraudio_tpu")
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: RunConfig,
+        model: Optional[XInstructBLIP] = None,
+        params: Optional[dict] = None,
+        train_dataset: Optional[MRDataset] = None,
+        val_dataset: Optional[MRDataset] = None,
+        optimizer: str = "adamw",
+    ):
+        self.cfg = cfg
+        tc = cfg.train
+        self.model = model or XInstructBLIP(cfg.model, audio_cfg=cfg.data.audio)
+
+        if params is None:
+            params = self.model.init_params(jax.random.PRNGKey(tc.seed))
+        self.trainable, self.frozen = split_trainable(params)
+        n_train = sum(x.size for x in self.trainable.values())
+        n_total = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        logger.info("trainable params: %d / %d", n_train, n_total)
+
+        if train_dataset is None:
+            train_dataset = MRDataset(
+                cfg.data, annotation_path=cfg.data.train_annotation_file, split="train"
+            )
+        if val_dataset is None:
+            val_dataset = MRDataset(
+                cfg.data, annotation_path=cfg.data.val_annotation_file, split="eval"
+            )
+        shard_index, shard_count = jax.process_index(), jax.process_count()
+        self.train_loader = BatchLoader(
+            train_dataset, tc.batch_size, shuffle=True, seed=tc.seed,
+            shard_index=shard_index, shard_count=shard_count, drop_last=True,
+        )
+        self.val_loader = BatchLoader(
+            val_dataset, tc.batch_size, shuffle=False,
+            shard_index=shard_index, shard_count=shard_count,
+        )
+
+        self.steps_per_epoch = max(len(self.train_loader), 1)
+        self.tx = build_optimizer(tc, self.trainable, self.steps_per_epoch, optimizer)
+        self.opt_state = self.tx.init(self.trainable)
+        self.schedule = lavis_warmup_cosine_schedule(tc, self.steps_per_epoch)
+        self.start_epoch = 0
+        self.global_step = 0
+        self._step_fn = None
+
+        if tc.resume_ckpt_path:
+            self._load_checkpoint(tc.resume_ckpt_path)
+
+    # ------------------------------------------------------------------
+
+    def _build_step(self, n_frms: int):
+        model, tx = self.model, self.tx
+
+        def step_fn(trainable, frozen, opt_state, arrays):
+            def loss_fn(tr):
+                params = merge_params(tr, frozen)
+                return model._loss_fn(params, *arrays, n_frms=n_frms)
+
+            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            updates, opt_state = tx.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return loss, trainable, opt_state
+
+        return jax.jit(step_fn, donate_argnums=(0, 2))
+
+    def _arrays_for_loss(self, batch):
+        text = self.model.prepare_text(
+            batch.text_input, np.asarray(batch.timestamps), batch.duration,
+            text_output=batch.text_output,
+        )
+        return (
+            jnp.asarray(batch.video), jnp.asarray(batch.audio),
+            jnp.asarray(text.qformer_ids), jnp.asarray(text.qformer_mask),
+            jnp.asarray(text.ts_ids), jnp.asarray(text.ts_mask),
+            jnp.asarray(text.dur_ids), jnp.asarray(text.dur_mask),
+            jnp.asarray(text.concat_ids), jnp.asarray(text.concat_mask),
+            jnp.asarray(text.labels),
+        )
+
+    @property
+    def params(self) -> dict:
+        return merge_params(self.trainable, self.frozen)
+
+    # ------------------------------------------------------------------
+
+    def train(self) -> dict:
+        tc = self.cfg.train
+        best_metric, best_epoch = 0.0, 0
+        results = {}
+        for epoch in range(self.start_epoch, tc.max_epoch):
+            self.train_epoch(epoch)
+            if epoch % tc.val_freq == 0:
+                metrics = self.eval_epoch()
+                agg = metrics["brief"]["MR-full-R1-avg"]
+                logger.info("MR performance at epoch %d: %s", epoch, agg)
+                results[epoch] = agg
+                if jax.process_index() == 0 and agg > best_metric:
+                    best_epoch, best_metric = epoch, agg
+                    self._save_checkpoint(epoch, is_best=True)
+            if (
+                tc.save_freq > 0
+                and epoch % tc.save_freq == 0
+                and jax.process_index() == 0
+            ):
+                self._save_checkpoint(epoch, is_best=False)
+        return {"best_epoch": best_epoch, "best_metric": best_metric, "results": results}
+
+    def train_epoch(self, epoch: int) -> dict:
+        self.train_loader.set_epoch(epoch)
+        metric_logger = MetricLogger(delimiter="  ")
+        metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
+        metric_logger.add_meter("loss", SmoothedValue(window_size=1, fmt="{value:.4f}"))
+        logger.info(
+            "Start training epoch %d, %d iters per inner epoch.",
+            epoch, len(self.train_loader),
+        )
+
+        for batch in self.train_loader:
+            if self._step_fn is None:
+                self._step_fn = self._build_step(batch.timestamps.shape[1])
+            arrays = self._arrays_for_loss(batch)
+            loss, self.trainable, self.opt_state = self._step_fn(
+                self.trainable, self.frozen, self.opt_state, arrays
+            )
+            self.global_step += 1
+            metric_logger.update(
+                loss=float(loss), lr=float(self.schedule(self.global_step - 1))
+            )
+
+        metric_logger.synchronize_between_processes()
+        logger.info("Averaged stats: %s", metric_logger.global_avg())
+        return {
+            k: f"{meter.global_avg:.3f}" for k, meter in metric_logger.meters.items()
+        }
+
+    def eval_epoch(self) -> dict:
+        params = self.params
+        results = []
+        for batch in self.val_loader:
+            outputs = self.model.generate(params, batch)
+            for qid, query, vid, target, output, valid in zip(
+                batch.qid, batch.query, batch.vid, batch.text_output, outputs,
+                batch.valid,
+            ):
+                if not valid:
+                    continue
+                results.append(
+                    {
+                        "qid": qid,
+                        "query": query,
+                        "vid": vid,
+                        "relevant_windows": moment_str_to_list(post_process(target)),
+                        "pred_relevant_windows": moment_str_to_list(post_process(output)),
+                    }
+                )
+        results = _allgather_results(results)
+        return eval_submission(results, results, verbose=False)
+
+    # ------------------------------------------------------------------
+
+    def _save_checkpoint(self, epoch: int, is_best: bool) -> str:
+        os.makedirs(self.cfg.train.output_dir, exist_ok=True)
+        name = "best" if is_best else str(epoch)
+        path = ckpt.save_checkpoint(
+            self.cfg.train.output_dir, name, self.trainable, self.opt_state, epoch
+        )
+        logger.info("Saving checkpoint at epoch %d to %s.", epoch, path)
+        return path
+
+    def _load_checkpoint(self, path: str) -> None:
+        payload = ckpt.load_checkpoint(path, self.trainable, self.opt_state)
+        restored = payload["model"]
+        self.trainable = {
+            k: jnp.asarray(restored[k]) for k in self.trainable
+        }
+        self.opt_state = jax.tree_util.tree_map(
+            jnp.asarray, payload["opt_state"]
+        )
+        self.start_epoch = int(payload["epoch"]) + 1
+        logger.info("Resume checkpoint from %s", path)
+
+
+def _allgather_results(results: list[dict]) -> list[dict]:
+    """Gather eval records across processes (multi-host val sharding,
+    the counterpart of the reference's DistributedSampler val split)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return results
+    import json
+
+    from jax.experimental import multihost_utils
+
+    payload = json.dumps(results).encode()
+    # Ragged across hosts: gather lengths, pad to the max, gather, trim.
+    lengths = multihost_utils.process_allgather(
+        np.array([len(payload)], dtype=np.int64)
+    ).reshape(-1)
+    max_len = int(lengths.max())
+    buf = np.zeros(max_len, dtype=np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+    all_payloads = multihost_utils.process_allgather(buf)
+    all_payloads = np.asarray(all_payloads).reshape(len(lengths), max_len)
+    out = []
+    for row, n in zip(all_payloads, lengths):
+        out.extend(json.loads(bytes(row[: int(n)]).decode()))
+    return out
