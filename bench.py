@@ -1,0 +1,191 @@
+"""Benchmark: end-to-end moment-retrieval throughput (clips/sec/chip).
+
+Measures the full inference pipeline — on-device preprocessing (frame
+normalize + mel fbank), EVA-ViT/BEATs encoding, dual Q-Formers,
+interleave build, and the 64-token greedy decode — on synthetic
+QVH-shaped inputs with random weights (no weight corpus ships in this
+environment; throughput is architecture-shaped, not weight-shaped).
+
+Prints ONE JSON line:
+    {"metric": "clips/sec/chip", "value": N, "unit": "clips/s",
+     "vs_baseline": N, ...}
+
+``vs_baseline`` compares against the same pipeline run on the host CPU
+(the reference implementation is CPU-bound Python/torch; BASELINE.md's
+north-star is >=10x CPU at parity).  The CPU number is measured once
+and cached in ``.bench_cpu_cache.json``.
+
+Profile via MRAUDIO_BENCH_PROFILE: tiny | base | full (default base).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def make_profile(name: str):
+    from mraudio_tpu.config import (
+        AudioFrontendConfig,
+        BeatsConfig,
+        DataConfig,
+        LlamaConfig,
+        LoraConfig,
+        QFormerConfig,
+        ViTConfig,
+        XInstructBLIPConfig,
+        tiny_data_config,
+        tiny_model_config,
+    )
+
+    if name == "tiny":
+        return tiny_model_config(), tiny_data_config(n_frms=4), 2, 3
+
+    if name == "base":
+        # QVH-shaped data; mid-size stack (ViT-B-class frame encoder,
+        # real-size BEATs/Q-Former, ~1.1B-class decoder).
+        model = XInstructBLIPConfig(
+            vit=ViTConfig(image_size=224, patch_size=14, width=768, depth=12,
+                          num_heads=12, mlp_dim=3072),
+            beats=BeatsConfig(),
+            qformer=QFormerConfig(),
+            llm=LlamaConfig(vocab_size=32001, hidden_size=2048, num_layers=22,
+                            num_heads=16, num_kv_heads=16, intermediate_size=5504),
+            lora=LoraConfig(),
+            max_new_tokens=64,
+        )
+        data = DataConfig.for_dataset("QVH").replace(video_source="synthetic")
+        return model, data, 2, 2
+
+    if name == "full":
+        model = XInstructBLIPConfig(
+            llm=LlamaConfig(quantization="int8"),
+        )
+        data = DataConfig.for_dataset("QVH").replace(video_source="synthetic")
+        return model, data, 1, 2
+
+    raise ValueError(f"unknown profile {name}")
+
+
+def make_batch(data_cfg, model, batch_size: int):
+    from mraudio_tpu.data.dataset import MRDataset, collate
+
+    anns = [
+        {
+            "vid": f"bench{i}",
+            "qid": i,
+            "query": "a person demonstrates the benchmark action",
+            "duration": 150,
+            "relevant_windows": [[10, 30]],
+        }
+        for i in range(batch_size)
+    ]
+    ds = MRDataset(data_cfg, annotations=anns)
+    return collate([ds.get(i) for i in range(batch_size)], batch_size)
+
+
+def run(profile: str, steps: int | None = None, device_kind: str | None = None):
+    import jax
+
+    from mraudio_tpu.models.xinstructblip import XInstructBLIP
+
+    model_cfg, data_cfg, batch_size, default_steps = make_profile(profile)
+    steps = steps or default_steps
+    model = XInstructBLIP(model_cfg, audio_cfg=data_cfg.audio)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = make_batch(data_cfg, model, batch_size)
+
+    # Warmup / compile.
+    t0 = time.time()
+    model.generate(params, batch)
+    compile_time = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(steps):
+        out = model.generate(params, batch)
+    elapsed = time.time() - t0
+    clips_per_sec = batch_size * steps / elapsed
+    return {
+        "clips_per_sec": clips_per_sec,
+        "compile_time_s": compile_time,
+        "elapsed_s": elapsed,
+        "batch_size": batch_size,
+        "steps": steps,
+        "n_frms": data_cfg.n_frms,
+        "sample_output": out[0][:40],
+    }
+
+
+def cpu_baseline(profile: str) -> float:
+    """Measure (or load cached) CPU clips/sec for the same pipeline."""
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_cpu_cache.json")
+    cache = {}
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            cache = json.load(f)
+    if profile in cache:
+        return cache[profile]
+
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["MRAUDIO_BENCH_FORCE_CPU"] = "1"
+    env["MRAUDIO_BENCH_PROFILE"] = profile
+    env["MRAUDIO_BENCH_STEPS"] = "1"
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3000,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        value = json.loads(line)["value"]
+    except Exception as exc:  # noqa: BLE001
+        print(f"# cpu baseline failed: {exc}", flush=True)
+        return 0.0
+    cache[profile] = value
+    with open(cache_path, "w") as f:
+        json.dump(cache, f)
+    return value
+
+
+def main():
+    profile = os.environ.get("MRAUDIO_BENCH_PROFILE", "base")
+    steps_env = os.environ.get("MRAUDIO_BENCH_STEPS")
+    steps = int(steps_env) if steps_env else None
+
+    import jax
+
+    if os.environ.get("MRAUDIO_BENCH_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
+    device_kind = jax.devices()[0].device_kind
+    result = run(profile, steps=steps)
+
+    payload = {
+        "metric": "clips/sec/chip",
+        "value": round(result["clips_per_sec"], 4),
+        "unit": "clips/s",
+        "profile": profile,
+        "device": device_kind,
+        "compile_time_s": round(result["compile_time_s"], 1),
+        "batch_size": result["batch_size"],
+        "n_frms": result["n_frms"],
+    }
+    if not os.environ.get("MRAUDIO_BENCH_FORCE_CPU"):
+        baseline = cpu_baseline(profile)
+        payload["cpu_clips_per_sec"] = round(baseline, 4)
+        payload["vs_baseline"] = (
+            round(result["clips_per_sec"] / baseline, 2) if baseline else None
+        )
+    else:
+        payload["vs_baseline"] = 1.0
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Inference CLI — the counterpart of the reference's ``evaluate.py``.
+
+Flag surface matches the reference (``evaluate.py:63-78``) with
+additions: ``--config`` (YAML RunConfig), ``--video-source`` (native /
+synthetic / npy), ``--model-size`` (full / tiny) for weight-free smoke
+runs.  ``--num-chunks/--chunk-idx`` shard for real.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def build_config(args):
+    from mraudio_tpu.config import (
+        DataConfig,
+        RunConfig,
+        tiny_data_config,
+        tiny_model_config,
+    )
+
+    if args.config:
+        cfg = RunConfig.from_yaml(args.config)
+    elif args.model_size == "tiny":
+        cfg = RunConfig(
+            model=tiny_model_config(), data=tiny_data_config(n_frms=args.n_frms or 4)
+        )
+    else:
+        cfg = RunConfig(data=DataConfig.for_dataset(args.dataset))
+
+    data = cfg.data.replace(
+        video_folder=args.video_folder or cfg.data.video_folder,
+        annotation_file=args.annotation_file or cfg.data.annotation_file,
+        num_chunks=args.num_chunks,
+        chunk_idx=args.chunk_idx,
+    )
+    if args.video_source:
+        data = data.replace(video_source=args.video_source)
+    return cfg.replace(model_name=args.model, data=data)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="mraudio_tpu batched inference")
+    parser.add_argument("--model", default="X-InstructBLIP")
+    parser.add_argument("--model-path", default="", help="converted LLM weights dir")
+    parser.add_argument("--audio-encoder", default="", help="converted BEATs weights")
+    parser.add_argument("--video-folder", default="")
+    parser.add_argument("--annotation-file", required=True)
+    parser.add_argument("--output-file", required=True)
+    parser.add_argument("--num-chunks", type=int, default=1)
+    parser.add_argument("--chunk-idx", type=int, default=0)
+    parser.add_argument("--batch-size", type=int, default=2)
+    parser.add_argument("--num-workers", type=int, default=2)
+    parser.add_argument("--dataset", default="QVH")
+    parser.add_argument("--config", default="", help="YAML RunConfig path")
+    parser.add_argument("--video-source", default="", choices=["", "native", "synthetic", "npy"])
+    parser.add_argument("--model-size", default="full", choices=["full", "tiny"])
+    parser.add_argument("--n-frms", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    cfg = build_config(args)
+
+    from mraudio_tpu.infer.evaluate import run_inference
+    from mraudio_tpu.models.xinstructblip import XInstructBLIP
+    from mraudio_tpu.models.convert_weights import load_pretrained_params
+
+    model = XInstructBLIP(cfg.model, audio_cfg=cfg.data.audio)
+    params = load_pretrained_params(model, cfg)
+    result = run_inference(
+        cfg, model=model, params=params,
+        output_file=args.output_file, batch_size=args.batch_size,
+    )
+    print(f"wrote {len(result['records'])} predictions to {args.output_file} "
+          f"({result['clips_per_sec']:.3f} clips/sec)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Training CLI — the counterpart of the reference's ``finetune.py``.
+
+No ``init_distributed_mode``/NCCL dance: ``jax.distributed.initialize``
+is automatic on TPU pods, and all cross-chip communication comes from
+sharding annotations.  Flag surface matches ``finetune.py:42-61`` plus
+``--config`` / ``--model-size`` / ``--video-source``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="mraudio_tpu finetuning")
+    parser.add_argument("--model", default="X-InstructBLIP")
+    parser.add_argument("--model-path", default="")
+    parser.add_argument("--audio-encoder", default="")
+    parser.add_argument("--video-folder", default="")
+    parser.add_argument("--train-annotation-file", required=True)
+    parser.add_argument("--val-annotation-file", required=True)
+    parser.add_argument("--output-dir", required=True)
+    parser.add_argument("--val-freq", type=int, default=1)
+    parser.add_argument("--save-freq", type=int, default=1)
+    parser.add_argument("--max-epoch", type=int, default=50)
+    parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--num-workers", type=int, default=2)
+    parser.add_argument("--dataset", default="QVH")
+    parser.add_argument("--config", default="")
+    parser.add_argument("--video-source", default="", choices=["", "native", "synthetic", "npy"])
+    parser.add_argument("--model-size", default="full", choices=["full", "tiny"])
+    parser.add_argument(
+        "--optimizer", default="adamw", choices=["adamw", "adam"],
+        help="'adamw' = the reference's intended optimizer; "
+             "'adam' reproduces its live (buggy) plain-Adam override",
+    )
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+
+    from mraudio_tpu.config import (
+        DataConfig, RunConfig, tiny_data_config, tiny_model_config,
+    )
+
+    if args.config:
+        cfg = RunConfig.from_yaml(args.config)
+    elif args.model_size == "tiny":
+        cfg = RunConfig(model=tiny_model_config(), data=tiny_data_config())
+    else:
+        cfg = RunConfig(data=DataConfig.for_dataset(args.dataset))
+
+    cfg = cfg.replace(
+        model_name=args.model,
+        data=cfg.data.replace(
+            video_folder=args.video_folder or cfg.data.video_folder,
+            train_annotation_file=args.train_annotation_file,
+            val_annotation_file=args.val_annotation_file,
+            **({"video_source": args.video_source} if args.video_source else {}),
+        ),
+        train=cfg.train.replace(
+            output_dir=args.output_dir,
+            val_freq=args.val_freq,
+            save_freq=args.save_freq,
+            max_epoch=args.max_epoch,
+            batch_size=args.batch_size,
+        ),
+        llm_weights=args.model_path,
+        beats_weights=args.audio_encoder,
+    )
+
+    from mraudio_tpu.models.convert_weights import load_pretrained_params
+    from mraudio_tpu.models.xinstructblip import XInstructBLIP
+    from mraudio_tpu.train.trainer import Trainer
+
+    model = XInstructBLIP(cfg.model, audio_cfg=cfg.data.audio)
+    params = load_pretrained_params(model, cfg)
+    trainer = Trainer(cfg, model=model, params=params, optimizer=args.optimizer)
+    summary = trainer.train()
+    print(f"best epoch {summary['best_epoch']}: MR-full-R1-avg {summary['best_metric']}")
+
+
+if __name__ == "__main__":
+    main()

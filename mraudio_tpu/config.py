@@ -359,7 +359,7 @@ def tiny_model_config(
         ),
         qformer=QFormerConfig(
             hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
-            num_query_tokens=4, vocab_size=128, max_position_embeddings=64,
+            num_query_tokens=4, vocab_size=260, max_position_embeddings=64,
         ),
         llm=LlamaConfig(
             vocab_size=260, hidden_size=64, num_layers=2, num_heads=4,

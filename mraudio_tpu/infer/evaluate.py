@@ -1,0 +1,88 @@
+"""Batched inference driver: dataset → generate → span parse → JSONL.
+
+Re-provides ``evaluate.py`` (reference ``run_inference``,
+``evaluate.py:13-60``): stream predictions for an annotation file into a
+QVH-submission JSONL with records ``{qid, query, vid,
+pred_relevant_windows, raw_out}``.  Differences by design:
+
+* ``--num-chunks/--chunk-idx`` actually shard the annotation list
+  (the reference parses and ignores them, ``evaluate.py:72-73``);
+* batches are static-shape with a validity mask (padded rows skipped at
+  write time);
+* per-stage throughput (clips/sec) is first-class output — the
+  benchmark metric of this framework.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+from mraudio_tpu.config import RunConfig
+from mraudio_tpu.data.annotations import chunk_annotations, load_annotations
+from mraudio_tpu.data.dataset import BatchLoader, MRDataset
+from mraudio_tpu.models.xinstructblip import XInstructBLIP
+from mraudio_tpu.text.postprocess import moment_str_to_list, post_process
+
+logger = logging.getLogger("mraudio_tpu")
+
+
+def run_inference(
+    cfg: RunConfig,
+    model=None,
+    params=None,
+    annotations: list[dict] | None = None,
+    output_file: str | None = None,
+    batch_size: int = 2,
+) -> dict:
+    """Returns {'records': [...], 'clips_per_sec': float}."""
+    if model is None:
+        model = XInstructBLIP(cfg.model, audio_cfg=cfg.data.audio)
+    if params is None:
+        import jax
+
+        params = model.init_params(jax.random.PRNGKey(cfg.train.seed))
+
+    if annotations is None:
+        annotations = load_annotations(cfg.data.annotation_file)
+    annotations = chunk_annotations(
+        annotations, cfg.data.num_chunks, cfg.data.chunk_idx
+    )
+
+    dataset = MRDataset(cfg.data, annotations=annotations, split="eval")
+    loader = BatchLoader(dataset, batch_size, shuffle=False)
+
+    records = []
+    n_clips = 0
+    start = time.time()
+    for batch in loader:
+        outputs = model.generate(params, batch)
+        for qid, query, vid, raw_out, valid in zip(
+            batch.qid, batch.query, batch.vid, outputs, batch.valid
+        ):
+            if not valid:
+                continue
+            records.append(
+                {
+                    "qid": qid,
+                    "query": query,
+                    "vid": vid,
+                    "pred_relevant_windows": moment_str_to_list(post_process(raw_out)),
+                    "raw_out": raw_out,
+                }
+            )
+            n_clips += 1
+    elapsed = time.time() - start
+    clips_per_sec = n_clips / elapsed if elapsed > 0 else 0.0
+    logger.info("inference: %d clips in %.2fs (%.3f clips/sec)", n_clips, elapsed, clips_per_sec)
+
+    if output_file:
+        os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
+        with open(output_file, "w") as f:
+            for record in records:
+                f.write(json.dumps(record) + "\n")
+    return {"records": records, "clips_per_sec": clips_per_sec}

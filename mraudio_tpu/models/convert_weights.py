@@ -1,0 +1,447 @@
+"""PyTorch → JAX weight converters for the five upstream checkpoints.
+
+The reference assembles its model from heterogeneous checkpoints with
+key-routing surgery (``models/xinstructblip.py:614-655`` Q-Formers,
+``:694-704`` layer norms, ``:706-735`` projections, ``:769-816`` general
+routing; EVA-ViT and BEATs load inside LAVIS; Vicuna comes from HF).
+These converters reproduce that routing against our parameter tree:
+
+========================  =============================================
+checkpoint                converter
+========================  =============================================
+EVA-ViT-g ``.pth``        :func:`convert_eva_vit`
+BEATs iter3+ ``.pt``      :func:`convert_beats`
+video/audio Q-Former      :func:`convert_qformer_bundle` (Q-Former +
+``*_qformer.pth``         query tokens + modality LN + LLM projection,
+                          filtered by the ``{modality}_`` prefixes)
+BLIP-2 stage-1 ``.pth``   :func:`convert_qformer_bundle` (fallback keys)
+Vicuna-7B HF weights      :func:`convert_llama_hf`
+========================  =============================================
+
+All converters take a flat ``{torch_name: np.ndarray}`` dict (use
+:func:`load_torch_state_dict`) and return the nested JAX param subtree.
+Linear weights transpose (out,in)→(in,out); attention projections
+reshape to DenseGeneral's (in, heads, head_dim) layout.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+logger = logging.getLogger("mraudio_tpu")
+
+
+def load_torch_state_dict(path: str) -> dict:
+    """Load a torch checkpoint into {name: np.ndarray} without CUDA."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        ckpt = ckpt["model"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in ckpt.items()}
+
+
+def _lin(sd, name):
+    """(out,in) torch Linear → (in,out) kernel + bias."""
+    out = {"kernel": sd[f"{name}.weight"].T}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _heads(w, num_heads):
+    """(out,in) → (in, heads, head_dim) for DenseGeneral q/k/v."""
+    out_dim, in_dim = w.shape
+    return w.T.reshape(in_dim, num_heads, out_dim // num_heads)
+
+
+def _heads_bias(b, num_heads):
+    return b.reshape(num_heads, -1)
+
+
+def _ln(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+# ---------------------------------------------------------------------------
+# EVA-ViT-g
+# ---------------------------------------------------------------------------
+
+
+def convert_eva_vit(sd: dict, cfg) -> dict:
+    """LAVIS ``eva_vit`` checkpoint → :class:`EvaViT` params.
+
+    EVA quirks handled: fused ``attn.qkv.weight`` split in thirds; no key
+    bias (``attn.q_bias``/``attn.v_bias`` only — k bias set to zeros);
+    conv patch embed flattened to our (py, px, c) patch-vector order.
+    """
+    p = cfg.patch_size
+    width = cfg.width
+    heads = cfg.num_heads
+
+    conv = sd["patch_embed.proj.weight"]  # (D, 3, p, p)
+    kernel = conv.transpose(2, 3, 1, 0).reshape(p * p * 3, width)
+    params = {
+        "patch_embed": {"kernel": kernel, "bias": sd["patch_embed.proj.bias"]},
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+    }
+
+    for i in range(cfg.depth):
+        pre = f"blocks.{i}"
+        qkv = sd[f"{pre}.attn.qkv.weight"]  # (3D, D)
+        qw, kw, vw = np.split(qkv, 3, axis=0)
+        q_bias = sd.get(f"{pre}.attn.q_bias", np.zeros(width, qkv.dtype))
+        v_bias = sd.get(f"{pre}.attn.v_bias", np.zeros(width, qkv.dtype))
+        params[f"block_{i}"] = {
+            "norm1": {"LayerNorm_0": _ln(sd, f"{pre}.norm1")},
+            "norm2": {"LayerNorm_0": _ln(sd, f"{pre}.norm2")},
+            "attn": {
+                "q": {"kernel": _heads(qw, heads), "bias": _heads_bias(q_bias, heads)},
+                "k": {"kernel": _heads(kw, heads), "bias": _heads_bias(np.zeros(width, qkv.dtype), heads)},
+                "v": {"kernel": _heads(vw, heads), "bias": _heads_bias(v_bias, heads)},
+                "out": {
+                    "kernel": sd[f"{pre}.attn.proj.weight"].T.reshape(heads, width // heads, width),
+                    "bias": sd[f"{pre}.attn.proj.bias"],
+                },
+            },
+            "mlp": {
+                "fc1": _lin(sd, f"{pre}.mlp.fc1"),
+                "fc2": _lin(sd, f"{pre}.mlp.fc2"),
+            },
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Q-Former bundle (Q-Former + query tokens + LN + projection per modality)
+# ---------------------------------------------------------------------------
+
+
+def convert_qformer(sd: dict, cfg, prefix: str = "") -> dict:
+    """BLIP-2 ``BertLMHeadModel`` weights → :class:`QFormer` params.
+
+    ``sd`` keys are relative to the Q-Former root (``bert.…``), i.e.
+    already stripped of the ``{modality}_Qformer.`` routing prefix the
+    reference removes at ``models/xinstructblip.py:642-651``.
+    """
+    g = lambda name: sd[f"{prefix}{name}"]
+    heads = cfg.num_heads
+
+    params = {
+        "word_embeddings": {"embedding": g("bert.embeddings.word_embeddings.weight")},
+        "position_embeddings": g("bert.embeddings.position_embeddings.weight"),
+        "embeddings_norm": {
+            "LayerNorm_0": {
+                "scale": g("bert.embeddings.LayerNorm.weight"),
+                "bias": g("bert.embeddings.LayerNorm.bias"),
+            }
+        },
+    }
+
+    def attn(pre, kv_pre=None):
+        kv_pre = kv_pre or pre
+        return {
+            "q": {
+                "kernel": _heads(g(f"{pre}.self.query.weight"), heads),
+                "bias": _heads_bias(g(f"{pre}.self.query.bias"), heads),
+            },
+            "k": {
+                "kernel": _heads(g(f"{kv_pre}.self.key.weight"), heads),
+                "bias": _heads_bias(g(f"{kv_pre}.self.key.bias"), heads),
+            },
+            "v": {
+                "kernel": _heads(g(f"{kv_pre}.self.value.weight"), heads),
+                "bias": _heads_bias(g(f"{kv_pre}.self.value.bias"), heads),
+            },
+            "out": {
+                "kernel": g(f"{pre}.output.dense.weight").T.reshape(
+                    heads, cfg.hidden_size // heads, cfg.hidden_size
+                ),
+                "bias": g(f"{pre}.output.dense.bias"),
+            },
+        }
+
+    def ln_of(name):
+        return {
+            "LayerNorm_0": {
+                "scale": g(f"{name}.weight"),
+                "bias": g(f"{name}.bias"),
+            }
+        }
+
+    for i in range(cfg.num_layers):
+        pre = f"bert.encoder.layer.{i}"
+        layer = {
+            "self_attn": attn(f"{pre}.attention"),
+            "self_norm": ln_of(f"{pre}.attention.output.LayerNorm"),
+            "mlp_query": {
+                "fc1": _lin(sd, f"{prefix}{pre}.intermediate_query.dense"),
+                "fc2": _lin(sd, f"{prefix}{pre}.output_query.dense"),
+            },
+            "ffn_norm_query": ln_of(f"{pre}.output_query.LayerNorm"),
+            "mlp_text": {
+                "fc1": _lin(sd, f"{prefix}{pre}.intermediate.dense"),
+                "fc2": _lin(sd, f"{prefix}{pre}.output.dense"),
+            },
+            "ffn_norm_text": ln_of(f"{pre}.output.LayerNorm"),
+        }
+        if i % cfg.cross_attention_freq == 0:
+            layer["cross_attn"] = attn(f"{pre}.crossattention")
+            layer["cross_norm"] = ln_of(f"{pre}.crossattention.output.LayerNorm")
+        params[f"layer_{i}"] = layer
+    return params
+
+
+def convert_qformer_bundle(sd: dict, cfg, modality: str) -> dict:
+    """Route a ``{modality}_*`` checkpoint (video_qformer.pth etc.) into
+    the assembly's four per-modality subtrees, reproducing the prefix
+    filtering of ``init_Qformer``/``init_ln``/``init_vicuna_projection``."""
+    qf_prefix = f"{modality}_Qformer."
+    qf_sd = {k[len(qf_prefix):]: v for k, v in sd.items() if k.startswith(qf_prefix)}
+    out = {}
+    if qf_sd:
+        out[f"{modality}_qformer"] = convert_qformer(qf_sd, cfg)
+    if f"{modality}_query_tokens" in sd:
+        out[f"{modality}_query_tokens"] = sd[f"{modality}_query_tokens"]
+    ln_key = f"{modality}_ln"
+    if f"{ln_key}.weight" in sd:
+        out[f"{modality}_ln"] = {
+            "ln": {
+                "LayerNorm_0": {
+                    "scale": sd[f"{ln_key}.weight"],
+                    "bias": sd[f"{ln_key}.bias"],
+                }
+            }
+        }
+    proj_key = f"{modality}_llm_proj"
+    if f"{proj_key}.weight" in sd:
+        out[f"{modality}_proj"] = {
+            "proj": {
+                "kernel": sd[f"{proj_key}.weight"].T,
+                "bias": sd[f"{proj_key}.bias"],
+            }
+        }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Llama / Vicuna (HF layout)
+# ---------------------------------------------------------------------------
+
+
+def convert_llama_hf(sd: dict, cfg) -> dict:
+    """HF ``LlamaForCausalLM`` state dict → :class:`LlamaModel` params.
+    Rows beyond the checkpoint vocab (the appended [PAD]) are zero-init,
+    matching ``resize_token_embeddings`` (``models/xinstructblip.py:154``)."""
+
+    def pad_vocab(w, axis=0):
+        if w.shape[axis] < cfg.vocab_size:
+            pad = [(0, 0)] * w.ndim
+            pad[axis] = (0, cfg.vocab_size - w.shape[axis])
+            w = np.pad(w, pad)
+        return w
+
+    params = {
+        "embed_tokens": {"embedding": pad_vocab(sd["model.embed_tokens.weight"])},
+        "final_norm": {"scale": sd["model.norm.weight"]},
+        "lm_head": {"kernel": pad_vocab(sd["lm_head.weight"], axis=0).T},
+    }
+    for i in range(cfg.num_layers):
+        pre = f"model.layers.{i}"
+        params[f"layer_{i}"] = {
+            "input_norm": {"scale": sd[f"{pre}.input_layernorm.weight"]},
+            "post_attn_norm": {"scale": sd[f"{pre}.post_attention_layernorm.weight"]},
+            "attn": {
+                "q_proj": {"kernel": sd[f"{pre}.self_attn.q_proj.weight"].T},
+                "k_proj": {"kernel": sd[f"{pre}.self_attn.k_proj.weight"].T},
+                "v_proj": {"kernel": sd[f"{pre}.self_attn.v_proj.weight"].T},
+                "o_proj": {"kernel": sd[f"{pre}.self_attn.o_proj.weight"].T},
+            },
+            "mlp": {
+                "gate_proj": {"kernel": sd[f"{pre}.mlp.gate_proj.weight"].T},
+                "up_proj": {"kernel": sd[f"{pre}.mlp.up_proj.weight"].T},
+                "down_proj": {"kernel": sd[f"{pre}.mlp.down_proj.weight"].T},
+            },
+        }
+    return params
+
+
+def quantize_llama_int8(params: dict) -> dict:
+    """Float param tree → int8 per-output-channel weights + scales (the
+    TPU counterpart of ``load_in_8bit``).  LoRA/norm/embedding params
+    pass through."""
+    import jax
+
+    def visit(path, leaf):
+        names = [str(getattr(p, "key", p)) for p in path]
+        if names[-1] == "kernel" and any(
+            n.endswith("_proj") or n == "lm_head" for n in names
+        ):
+            scale = np.abs(leaf).max(axis=0) / 127.0
+            scale = np.where(scale == 0, 1.0, scale)
+            return {"w_int8": np.round(leaf / scale).astype(np.int8),
+                    "scale": scale.astype(np.float32)}
+        return leaf
+
+    flat = jax.tree_util.tree_map_with_path(visit, params)
+
+    # splice the {w_int8, scale} dicts in place of kernels
+    def fix(tree):
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                if isinstance(v, dict) and set(v) == {"w_int8", "scale"} and k == "kernel":
+                    out["w_int8"] = v["w_int8"]
+                    out["scale"] = v["scale"]
+                else:
+                    out[k] = fix(v)
+            return out
+        return tree
+
+    return fix(flat)
+
+
+# ---------------------------------------------------------------------------
+# BEATs
+# ---------------------------------------------------------------------------
+
+
+def convert_beats(sd: dict, cfg) -> dict:
+    """BEATs iter3+ checkpoint → :class:`BeatsEncoder` params.
+
+    Architectural note: BEATs keeps one shared relative-attention-bias
+    table on layer 0 and per-layer gate projections (``grep_linear``);
+    our encoder shares one gate module, which receives layer 0's gate
+    weights.  Other layers' gates are dropped (documented divergence —
+    the bias table itself, the dominant term, is shared in both)."""
+    heads = cfg.num_heads
+    width = cfg.width
+    p = cfg.patch_size
+
+    conv = sd["patch_embedding.weight"]  # (conv_dim, 1, p, p)
+    kernel = conv[:, 0].transpose(1, 2, 0).reshape(p * p, cfg.conv_dim)
+    params: dict = {
+        "patch_embed": {"kernel": kernel},
+        "patch_norm": {"LayerNorm_0": _ln(sd, "layer_norm")},
+    }
+    if "patch_embedding.bias" in sd:
+        params["patch_embed"]["bias"] = sd["patch_embedding.bias"]
+    else:
+        params["patch_embed"]["bias"] = np.zeros(cfg.conv_dim, np.float32)
+    if cfg.conv_dim != width and "post_extract_proj.weight" in sd:
+        params["post_extract_proj"] = _lin(sd, "post_extract_proj")
+
+    if "encoder.pos_conv.0.weight" in sd:
+        # torch conv1d weight (out, in/groups, k) → flax (k, in/groups, out)
+        w = sd["encoder.pos_conv.0.weight"]
+        params["pos_conv"] = {
+            "kernel": w.transpose(2, 1, 0),
+            "bias": sd.get("encoder.pos_conv.0.bias", np.zeros(width, np.float32)),
+        }
+    if "encoder.layer_norm.weight" in sd:
+        params["pre_encoder_norm"] = {"LayerNorm_0": _ln(sd, "encoder.layer_norm")}
+
+    bias_key = "encoder.layers.0.self_attn.relative_attention_bias.weight"
+    if bias_key in sd:
+        params["rel_pos_bias"] = {"rel_attn_bias": sd[bias_key]}
+        gate_key = "encoder.layers.0.self_attn.grep_linear.weight"
+        if gate_key in sd:
+            # grep_linear maps head_dim→8 in BEATs; our gate maps
+            # head_dim→1.  Collapse by averaging output rows (documented
+            # approximation; exact gating needs the 8-way sum structure).
+            gw = sd[gate_key]
+            params["rel_pos_bias"]["gate"] = {
+                "kernel": gw.T.mean(axis=-1, keepdims=True),
+                "bias": sd.get("encoder.layers.0.self_attn.grep_linear.bias",
+                               np.zeros(8, np.float32)).mean(keepdims=True),
+            }
+
+    for i in range(cfg.depth):
+        pre = f"encoder.layers.{i}"
+        params[f"block_{i}"] = {
+            "attn": {
+                "q": {
+                    "kernel": _heads(sd[f"{pre}.self_attn.q_proj.weight"], heads),
+                    "bias": _heads_bias(sd[f"{pre}.self_attn.q_proj.bias"], heads),
+                },
+                "k": {
+                    "kernel": _heads(sd[f"{pre}.self_attn.k_proj.weight"], heads),
+                    "bias": _heads_bias(
+                        sd.get(f"{pre}.self_attn.k_proj.bias", np.zeros(width, np.float32)),
+                        heads,
+                    ),
+                },
+                "v": {
+                    "kernel": _heads(sd[f"{pre}.self_attn.v_proj.weight"], heads),
+                    "bias": _heads_bias(sd[f"{pre}.self_attn.v_proj.bias"], heads),
+                },
+                "out": {
+                    "kernel": sd[f"{pre}.self_attn.out_proj.weight"].T.reshape(
+                        heads, width // heads, width
+                    ),
+                    "bias": sd[f"{pre}.self_attn.out_proj.bias"],
+                },
+            },
+            "norm1": {"LayerNorm_0": _ln(sd, f"{pre}.self_attn_layer_norm")},
+            "mlp": {
+                "fc1": _lin(sd, f"{pre}.fc1"),
+                "fc2": _lin(sd, f"{pre}.fc2"),
+            },
+            "norm2": {"LayerNorm_0": _ln(sd, f"{pre}.final_layer_norm")},
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Top-level loader
+# ---------------------------------------------------------------------------
+
+
+def load_pretrained_params(model, cfg) -> dict:
+    """Random-init the assembly, then overlay every converted checkpoint
+    whose path is configured (empty paths stay random — weight-free smoke
+    mode).  Mirrors the reference's load order: per-modality bundles,
+    then BLIP-2 stage-1 fallback, then the LLM."""
+    import jax
+
+    params = model.init_params(jax.random.PRNGKey(cfg.train.seed))
+
+    def overlay(dst: dict, src: dict):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                overlay(dst[k], v)
+            else:
+                dst[k] = np.asarray(v)
+
+    for modality, path in (
+        ("video", cfg.video_qformer_weights),
+        ("audio", cfg.audio_qformer_weights),
+    ):
+        if path:
+            sd = load_torch_state_dict(path)
+            overlay(params, convert_qformer_bundle(sd, cfg.model.qformer, modality))
+            logger.info("loaded %s Q-Former bundle from %s", modality, path)
+    if cfg.blip2_stage1_weights:
+        sd = load_torch_state_dict(cfg.blip2_stage1_weights)
+        for modality in cfg.model.modalities:
+            overlay(params, convert_qformer_bundle(sd, cfg.model.qformer, modality))
+        logger.info("loaded BLIP-2 stage-1 weights from %s", cfg.blip2_stage1_weights)
+    if cfg.vit_weights:
+        sd = load_torch_state_dict(cfg.vit_weights)
+        params["vit"] = convert_eva_vit(sd, cfg.model.vit)
+        logger.info("loaded EVA-ViT weights from %s", cfg.vit_weights)
+    if cfg.beats_weights:
+        sd = load_torch_state_dict(cfg.beats_weights)
+        overlay(params["beats"], convert_beats(sd, cfg.model.beats))
+        logger.info("loaded BEATs weights from %s", cfg.beats_weights)
+    if cfg.llm_weights:
+        sd = load_torch_state_dict(cfg.llm_weights)
+        llm = convert_llama_hf(sd, cfg.model.llm)
+        if cfg.model.llm.quantization == "int8":
+            llm = quantize_llama_int8(llm)
+        overlay(params["llm"], llm)
+        logger.info("loaded LLM weights from %s", cfg.llm_weights)
+    return params

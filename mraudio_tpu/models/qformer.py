@@ -100,6 +100,10 @@ class QFormer(nn.Module):
             jnp.float32,
         )
         text = (word + pos[:l_len][None]).astype(dtype)
+        # Zero padded text positions: their values are never attended, but
+        # a garbage embedding there would still poison the output through
+        # 0·NaN in the probs@values matmul.
+        text = text * attention_mask[..., None].astype(dtype)
 
         x = jnp.concatenate([query_embeds.astype(dtype), text], axis=1)
         x = LayerNormFp32(epsilon=cfg.layer_norm_eps, name="embeddings_norm")(x)

@@ -104,9 +104,8 @@ class XInstructBLIP:
         self.cfg = cfg
         self.audio_cfg = audio_cfg or AudioFrontendConfig()
         self.llm_tokenizer = llm_tokenizer or ByteTokenizer(cfg.llm.vocab_size)
-        self.qformer_tokenizer = qformer_tokenizer or ByteTokenizer(
-            max(cfg.qformer.vocab_size, 260)
-        )
+        # fallback tokenizer ids must stay inside the Q-Former embed table
+        self.qformer_tokenizer = qformer_tokenizer or ByteTokenizer(cfg.qformer.vocab_size)
 
         self.vit = EvaViT(cfg.vit)
         self.beats = BeatsEncoder(cfg.beats)
