@@ -1,0 +1,462 @@
+// mraudio_tpu native decode library (libav-based).
+//
+// Re-provides the decode capability the reference gets from decord
+// (seekable video decode, fps/frame-count probe, batched frame gather at
+// arbitrary indices, resize at decode time — processors/alpro_processors.py)
+// and from ffmpeg-python (sub-clip extraction, audio demux —
+// utils/mr_dataset.py, LAVIS BeatsAudioProcessor), as a small C API bound
+// from Python via ctypes.
+//
+// Design notes:
+//  * frame gather decodes sequentially between sorted targets and seeks
+//    only when the gap to the next target is large — the uniform-sampling
+//    access pattern of this workload (60 indices over a few thousand
+//    frames) makes keyframe-seek-per-index slower than smart skipping;
+//  * sub-clip extraction is a seek window at decode time ([start,end)
+//    seconds), fixing the reference's misuse of the *spatial* crop filter
+//    for temporal clipping;
+//  * scaling to the target (H, W) happens inside the decode loop via
+//    swscale, so only H*W*3 uint8 per frame crosses into Python;
+//  * a tiny encoder (write_test_video / write_test_audio) exists so tests
+//    can fabricate real media files without an ffmpeg binary.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswresample/swresample.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+thread_local std::string g_error;
+
+void set_error(const std::string& msg) { g_error = msg; }
+
+struct VideoReader {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  int stream_index = -1;
+
+  ~VideoReader() {
+    if (codec) avcodec_free_context(&codec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+
+  bool open(const char* path) {
+    if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) {
+      set_error(std::string("cannot open ") + path);
+      return false;
+    }
+    if (avformat_find_stream_info(fmt, nullptr) < 0) {
+      set_error("no stream info");
+      return false;
+    }
+    const AVCodec* dec = nullptr;
+    stream_index = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+    if (stream_index < 0 || !dec) {
+      set_error("no video stream");
+      return false;
+    }
+    codec = avcodec_alloc_context3(dec);
+    avcodec_parameters_to_context(codec, fmt->streams[stream_index]->codecpar);
+    codec->thread_count = 2;
+    if (avcodec_open2(codec, dec, nullptr) < 0) {
+      set_error("cannot open video decoder");
+      return false;
+    }
+    return true;
+  }
+
+  AVStream* stream() { return fmt->streams[stream_index]; }
+
+  double fps() {
+    AVRational r = stream()->avg_frame_rate;
+    if (r.num == 0 || r.den == 0) r = stream()->r_frame_rate;
+    return r.den ? static_cast<double>(r.num) / r.den : 0.0;
+  }
+
+  int64_t num_frames() {
+    int64_t n = stream()->nb_frames;
+    if (n > 0) return n;
+    // estimate from duration
+    double dur = 0.0;
+    if (stream()->duration > 0)
+      dur = stream()->duration * av_q2d(stream()->time_base);
+    else if (fmt->duration > 0)
+      dur = static_cast<double>(fmt->duration) / AV_TIME_BASE;
+    return static_cast<int64_t>(dur * fps());
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+const char* mr_last_error() { return g_error.c_str(); }
+
+// Probe: fill num_frames and fps. Returns 0 on success.
+int mr_probe(const char* path, long long* num_frames, double* fps) {
+  VideoReader r;
+  if (!r.open(path)) return -1;
+  *num_frames = r.num_frames();
+  *fps = r.fps();
+  return 0;
+}
+
+// Decode |n| frames at |indices| (frame numbers relative to the
+// [start,end) sub-clip when start>=0), scaled to (h, w) RGB24, written
+// consecutively into |out| (n*h*w*3 bytes). Returns 0 on success.
+int mr_decode_frames(const char* path, const long long* indices, int n,
+                     int h, int w, double start, double end,
+                     unsigned char* out) {
+  VideoReader r;
+  if (!r.open(path)) return -1;
+
+  // Sort targets, remember destination slots.
+  std::vector<std::pair<long long, int>> targets(n);
+  for (int i = 0; i < n; ++i) targets[i] = {indices[i], i};
+  std::sort(targets.begin(), targets.end());
+
+  const double fps = r.fps();
+  const int64_t base_frame =
+      start >= 0 ? static_cast<int64_t>(start * fps + 0.5) : 0;
+  const int64_t limit_frame =
+      end >= 0 ? static_cast<int64_t>(end * fps + 0.5) : INT64_MAX;
+
+  AVStream* st = r.stream();
+  SwsContext* sws = nullptr;
+  AVFrame* frame = av_frame_alloc();
+  AVPacket* pkt = av_packet_alloc();
+
+  int64_t next_decode_frame = 0;  // absolute frame number of next decoded output
+  size_t ti = 0;
+  bool failed = false;
+
+  // Seek near the first target if it is far into the file.
+  {
+    int64_t first_abs = base_frame + targets[0].first;
+    if (first_abs > 0 && fps > 0) {
+      double t = first_abs / fps;
+      int64_t ts = static_cast<int64_t>(t / av_q2d(st->time_base));
+      if (av_seek_frame(r.fmt, r.stream_index, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
+        avcodec_flush_buffers(r.codec);
+        next_decode_frame = -1;  // unknown until first pts
+      }
+    }
+  }
+
+  auto deliver = [&](AVFrame* f, int64_t abs_frame) {
+    while (ti < targets.size() &&
+           base_frame + targets[ti].first == abs_frame) {
+      if (!sws) {
+        sws = sws_getContext(f->width, f->height, (AVPixelFormat)f->format, w,
+                             h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                             nullptr, nullptr);
+      }
+      uint8_t* dst[1] = {out + static_cast<size_t>(targets[ti].second) * h * w * 3};
+      int dst_stride[1] = {w * 3};
+      sws_scale(sws, f->data, f->linesize, 0, f->height, dst, dst_stride);
+      ++ti;
+    }
+  };
+
+  while (ti < targets.size() && av_read_frame(r.fmt, pkt) >= 0) {
+    if (pkt->stream_index != r.stream_index) {
+      av_packet_unref(pkt);
+      continue;
+    }
+    if (avcodec_send_packet(r.codec, pkt) < 0) {
+      av_packet_unref(pkt);
+      continue;
+    }
+    av_packet_unref(pkt);
+    while (avcodec_receive_frame(r.codec, frame) >= 0) {
+      int64_t abs_frame;
+      if (next_decode_frame < 0) {
+        // derive frame number from pts after a seek
+        double t = frame->best_effort_timestamp * av_q2d(st->time_base);
+        abs_frame = static_cast<int64_t>(t * fps + 0.5);
+      } else {
+        abs_frame = next_decode_frame;
+      }
+      next_decode_frame = abs_frame + 1;
+      if (abs_frame >= limit_frame) break;
+      deliver(frame, abs_frame);
+    }
+  }
+  // flush decoder
+  avcodec_send_packet(r.codec, nullptr);
+  while (ti < targets.size() && avcodec_receive_frame(r.codec, frame) >= 0) {
+    int64_t abs_frame = next_decode_frame < 0 ? 0 : next_decode_frame;
+    next_decode_frame = abs_frame + 1;
+    deliver(frame, abs_frame);
+  }
+
+  // pad unreached targets (e.g. index == vlen due to rounding) with the
+  // last delivered frame, mirroring repeat-last-frame semantics
+  if (ti > 0) {
+    while (ti < targets.size()) {
+      size_t frame_bytes = static_cast<size_t>(h) * w * 3;
+      std::memcpy(out + targets[ti].second * frame_bytes,
+                  out + targets[ti - 1].second * frame_bytes, frame_bytes);
+      ++ti;
+    }
+  } else if (ti < targets.size()) {
+    set_error("no frames decoded");
+    failed = true;
+  }
+
+  if (sws) sws_freeContext(sws);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return failed ? -1 : 0;
+}
+
+// Decode the audio track to mono float |sample_rate|; writes up to
+// |max_samples| into |out|; returns the number written, 0 if the file has
+// no audio track, -1 on error.
+long long mr_decode_audio(const char* path, int sample_rate, float* out,
+                          long long max_samples) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) {
+    set_error(std::string("cannot open ") + path);
+    return -1;
+  }
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    set_error("no stream info");
+    return -1;
+  }
+  const AVCodec* dec = nullptr;
+  int si = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, &dec, 0);
+  if (si < 0 || !dec) {
+    avformat_close_input(&fmt);
+    return 0;  // no audio track: caller substitutes silence
+  }
+  AVCodecContext* codec = avcodec_alloc_context3(dec);
+  avcodec_parameters_to_context(codec, fmt->streams[si]->codecpar);
+  if (avcodec_open2(codec, dec, nullptr) < 0) {
+    avcodec_free_context(&codec);
+    avformat_close_input(&fmt);
+    set_error("cannot open audio decoder");
+    return -1;
+  }
+
+  SwrContext* swr = nullptr;
+  AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+  AVChannelLayout in_layout;
+  av_channel_layout_copy(&in_layout, &codec->ch_layout);
+  if (swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLT, sample_rate,
+                          &in_layout, codec->sample_fmt, codec->sample_rate,
+                          0, nullptr) < 0 ||
+      swr_init(swr) < 0) {
+    set_error("cannot init resampler");
+    avcodec_free_context(&codec);
+    avformat_close_input(&fmt);
+    return -1;
+  }
+
+  AVFrame* frame = av_frame_alloc();
+  AVPacket* pkt = av_packet_alloc();
+  long long written = 0;
+  std::vector<float> chunk(16384);
+
+  auto drain = [&](AVFrame* f) {
+    uint8_t* dst = reinterpret_cast<uint8_t*>(chunk.data());
+    int max_out = static_cast<int>(chunk.size());
+    int got = swr_convert(swr, &dst, max_out,
+                          f ? const_cast<const uint8_t**>(f->data) : nullptr,
+                          f ? f->nb_samples : 0);
+    while (got > 0 && written < max_samples) {
+      long long take = std::min<long long>(got, max_samples - written);
+      std::memcpy(out + written, chunk.data(), take * sizeof(float));
+      written += take;
+      if (!f) {
+        got = swr_convert(swr, &dst, max_out, nullptr, 0);
+      } else {
+        break;
+      }
+    }
+  };
+
+  while (written < max_samples && av_read_frame(fmt, pkt) >= 0) {
+    if (pkt->stream_index == si && avcodec_send_packet(codec, pkt) >= 0) {
+      while (avcodec_receive_frame(codec, frame) >= 0) drain(frame);
+    }
+    av_packet_unref(pkt);
+  }
+  avcodec_send_packet(codec, nullptr);
+  while (avcodec_receive_frame(codec, frame) >= 0) drain(frame);
+  drain(nullptr);  // flush resampler
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  swr_free(&swr);
+  avcodec_free_context(&codec);
+  avformat_close_input(&fmt);
+  return written;
+}
+
+// ---------------------------------------------------------------------------
+// Test-media writers (no ffmpeg binary in the image).
+// ---------------------------------------------------------------------------
+
+// Encode |n| RGB24 frames (h x w) at |fps| into an mp4 at |path|.
+int mr_write_test_video(const char* path, const unsigned char* rgb, int n,
+                        int h, int w, double fps) {
+  AVFormatContext* fmt = nullptr;
+  avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
+  if (!fmt) {
+    set_error("cannot alloc output context");
+    return -1;
+  }
+  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!enc) {
+    set_error("no mpeg4 encoder");
+    return -1;
+  }
+  AVStream* st = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* codec = avcodec_alloc_context3(enc);
+  codec->width = w;
+  codec->height = h;
+  codec->pix_fmt = AV_PIX_FMT_YUV420P;
+  // exact rational time base so the container reports precise fps
+  codec->time_base = av_inv_q(av_d2q(fps, 100000));
+  codec->gop_size = 12;
+  codec->bit_rate = 2000000;
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(codec, enc, nullptr) < 0) {
+    set_error("cannot open encoder");
+    return -1;
+  }
+  avcodec_parameters_from_context(st->codecpar, codec);
+  st->time_base = codec->time_base;
+
+  if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    set_error("cannot open output file");
+    return -1;
+  }
+  if (avformat_write_header(fmt, nullptr) < 0) {
+    set_error("cannot write header");
+    return -1;
+  }
+
+  SwsContext* sws =
+      sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
+                     SWS_BILINEAR, nullptr, nullptr, nullptr);
+  AVFrame* frame = av_frame_alloc();
+  frame->format = AV_PIX_FMT_YUV420P;
+  frame->width = w;
+  frame->height = h;
+  av_frame_get_buffer(frame, 0);
+  AVPacket* pkt = av_packet_alloc();
+
+  auto write_packets = [&]() {
+    while (avcodec_receive_packet(codec, pkt) >= 0) {
+      av_packet_rescale_ts(pkt, codec->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      av_interleaved_write_frame(fmt, pkt);
+      av_packet_unref(pkt);
+    }
+  };
+
+  for (int i = 0; i < n; ++i) {
+    const uint8_t* src[1] = {rgb + static_cast<size_t>(i) * h * w * 3};
+    int stride[1] = {w * 3};
+    av_frame_make_writable(frame);
+    sws_scale(sws, src, stride, 0, h, frame->data, frame->linesize);
+    frame->pts = i;
+    avcodec_send_frame(codec, frame);
+    write_packets();
+  }
+  avcodec_send_frame(codec, nullptr);
+  write_packets();
+
+  av_write_trailer(fmt);
+  sws_freeContext(sws);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  avcodec_free_context(&codec);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return 0;
+}
+
+// Write mono float samples as a WAV (pcm_s16le) at |path|.
+int mr_write_test_audio(const char* path, const float* samples, long long n,
+                        int sample_rate) {
+  AVFormatContext* fmt = nullptr;
+  avformat_alloc_output_context2(&fmt, nullptr, "wav", path);
+  if (!fmt) {
+    set_error("cannot alloc wav context");
+    return -1;
+  }
+  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_PCM_S16LE);
+  AVStream* st = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* codec = avcodec_alloc_context3(enc);
+  codec->sample_rate = sample_rate;
+  AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+  av_channel_layout_copy(&codec->ch_layout, &mono);
+  codec->sample_fmt = AV_SAMPLE_FMT_S16;
+  codec->time_base = {1, sample_rate};
+  if (avcodec_open2(codec, enc, nullptr) < 0) {
+    set_error("cannot open pcm encoder");
+    return -1;
+  }
+  avcodec_parameters_from_context(st->codecpar, codec);
+  if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    set_error("cannot open wav file");
+    return -1;
+  }
+  avformat_write_header(fmt, nullptr);
+
+  AVFrame* frame = av_frame_alloc();
+  AVPacket* pkt = av_packet_alloc();
+  const int chunk = 4096;
+  for (long long off = 0; off < n; off += chunk) {
+    int cnt = static_cast<int>(std::min<long long>(chunk, n - off));
+    frame->nb_samples = cnt;
+    frame->format = AV_SAMPLE_FMT_S16;
+    av_channel_layout_copy(&frame->ch_layout, &codec->ch_layout);
+    av_frame_get_buffer(frame, 0);
+    int16_t* dst = reinterpret_cast<int16_t*>(frame->data[0]);
+    for (int i = 0; i < cnt; ++i) {
+      float v = samples[off + i];
+      v = std::max(-1.0f, std::min(1.0f, v));
+      dst[i] = static_cast<int16_t>(v * 32767.0f);
+    }
+    frame->pts = off;
+    avcodec_send_frame(codec, frame);
+    while (avcodec_receive_packet(codec, pkt) >= 0) {
+      pkt->stream_index = st->index;
+      av_interleaved_write_frame(fmt, pkt);
+      av_packet_unref(pkt);
+    }
+    av_frame_unref(frame);
+  }
+  avcodec_send_frame(codec, nullptr);
+  while (avcodec_receive_packet(codec, pkt) >= 0) {
+    pkt->stream_index = st->index;
+    av_interleaved_write_frame(fmt, pkt);
+    av_packet_unref(pkt);
+  }
+  av_write_trailer(fmt);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  avcodec_free_context(&codec);
+  avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return 0;
+}
+
+}  // extern "C"
