@@ -153,6 +153,12 @@ class LlamaConfig(_ConfigBase):
     # "int8" quantizes base weights (the TPU counterpart of load_in_8bit);
     # "none" keeps them in `dtype`.
     quantization: str = "none"
+    # Attention implementation for multi-token (prefill/training) calls:
+    # "chunked" = online-softmax lax.scan (O(S*D) memory, portable, the
+    # default), "pallas" = the hand-written Mosaic kernel (real TPU
+    # deployments), "dense" = materialized logits (tiny shapes / debug).
+    # Decode steps always use the dense path (1 x KV has nothing to tile).
+    attention_impl: str = "chunked"
 
     @property
     def head_dim(self) -> int:

@@ -54,7 +54,8 @@ def greedy_generate(
     causal = (k_idx <= q_idx)[None, None]                      # (1,1,S,max)
     pad = full_mask[:, None, None, :].astype(bool)             # (B,1,1,max)
     logits, cache = model.apply(
-        params, prefix_embeds, causal & pad, positions, cache=cache, cache_index=0
+        params, prefix_embeds, causal & pad, positions, cache=cache, cache_index=0,
+        kv_valid=full_mask, causal=True,
     )
     next_id = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)  # (B,)
 

@@ -120,7 +120,7 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, positions, cache=None, cache_index=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, kv_valid=None, causal=False):
         cfg = self.cfg
         b, s, _ = x.shape
         h, d = cfg.num_heads, cfg.head_dim
@@ -156,12 +156,35 @@ class LlamaAttention(nn.Module):
             k_full = jnp.repeat(k_full, rep, axis=2)
             v_full = jnp.repeat(v_full, rep, axis=2)
 
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k_full, preferred_element_type=jnp.float32
-        ) * (d ** -0.5)
-        logits = jnp.where(mask, logits, NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v_full)
+        # Memory-efficient attention for multi-token calls
+        # (prefill/training); decode steps use the dense path.
+        impl = cfg.attention_impl
+        use_streaming = (
+            impl in ("chunked", "pallas")
+            and s > 1
+            and causal
+            and kv_valid is not None
+        )
+        if use_streaming and impl == "pallas" and jax.default_backend() != "tpu":
+            impl = "chunked"  # Mosaic kernels only compile for real TPUs
+        if use_streaming:
+            from mraudio_tpu.ops.attention import chunked_attention, flash_attention
+
+            fn = flash_attention if impl == "pallas" else chunked_attention
+            out = fn(
+                q.transpose(0, 2, 1, 3),
+                k_full.transpose(0, 2, 1, 3),
+                v_full.transpose(0, 2, 1, 3),
+                kv_valid,
+                causal=True,
+            ).transpose(0, 2, 1, 3)
+        else:
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k_full, preferred_element_type=jnp.float32
+            ) * (d ** -0.5)
+            logits = jnp.where(mask, logits, NEG_INF)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v_full)
         out = out.reshape(b, s, h * d)
         out = lin("o_proj", cfg.hidden_size, True)(out, deterministic)
         return out, new_cache
@@ -193,10 +216,11 @@ class LlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, positions, cache=None, cache_index=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, kv_valid=None, causal=False):
         h = RMSNorm(epsilon=self.cfg.rms_norm_eps, name="input_norm")(x)
         h, new_cache = LlamaAttention(self.cfg, self.lora, name="attn")(
-            h, mask, positions, cache, cache_index, deterministic
+            h, mask, positions, cache, cache_index, deterministic,
+            kv_valid=kv_valid, causal=causal,
         )
         x = x + h
         h = RMSNorm(epsilon=self.cfg.rms_norm_eps, name="post_attn_norm")(x)
@@ -249,12 +273,15 @@ class LlamaModel(nn.Module):
         cache_index: Optional[jax.Array] = None,
         deterministic: bool = True,
         return_hidden: bool = False,
+        kv_valid: Optional[jax.Array] = None,  # (B, KV) {0,1}: enables flash
+        causal: bool = False,
     ):
         x = inputs_embeds.astype(jnp.dtype(self.cfg.dtype))
         new_cache = []
         for i, block in enumerate(self.blocks):
             layer_cache = cache[i] if cache is not None else None
-            x, c = block(x, mask, positions, layer_cache, cache_index, deterministic)
+            x, c = block(x, mask, positions, layer_cache, cache_index,
+                         deterministic, kv_valid=kv_valid, causal=causal)
             new_cache.append(c)
         x = self.final_norm(x)
         if return_hidden:

@@ -255,7 +255,8 @@ class VideoLLaMA:
         causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
         attend = causal & mask[:, None, None, :].astype(bool)
         logits, _ = self.llm.apply(
-            {"params": params["llm"]}, embeds, attend, positions_from_mask(mask)
+            {"params": params["llm"]}, embeds, attend, positions_from_mask(mask),
+            kv_valid=mask, causal=True,
         )
         shift_logits, shift_labels = logits[:, :-1], full_labels[:, 1:]
         valid = shift_labels != -100

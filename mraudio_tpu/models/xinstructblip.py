@@ -411,7 +411,10 @@ class XInstructBLIP:
         causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
         attend = causal & mask[:, None, None, :].astype(bool)
         positions = positions_from_mask(mask)
-        logits, _ = self.llm.apply({"params": params["llm"]}, embeds, attend, positions)
+        logits, _ = self.llm.apply(
+            {"params": params["llm"]}, embeds, attend, positions,
+            kv_valid=mask, causal=True,
+        )
 
         # Shifted CE with -100 ignore, mean over valid targets (HF semantics).
         shift_logits = logits[:, :-1]

@@ -1,0 +1,120 @@
+"""Flash-attention kernel vs. the einsum reference (interpret mode, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mraudio_tpu.ops.attention import flash_attention
+
+
+def _reference(q, k, v, mask, causal=True):
+    b, h, s, d = q.shape
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / np.sqrt(d)
+    m = mask[:, None, None, :].astype(bool)
+    if causal:
+        m = m & jnp.tril(jnp.ones((s, s), bool))[None, None]
+    logits = jnp.where(m, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # zero rows that attend nothing (all -inf): softmax gives uniform there
+    any_valid = m.any(axis=-1, keepdims=True)
+    probs = jnp.where(any_valid, probs, 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("s,block", [(256, 128), (200, 128), (64, 32)])
+def test_flash_matches_reference(s, block):
+    rng = np.random.default_rng(0)
+    b, h, d = 2, 3, 32
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    mask = np.ones((b, s), np.int32)
+    # interior padding (timestamp-slot style) + left padding
+    mask[0, 10:20] = 0
+    mask[1, :7] = 0
+    mask = jnp.asarray(mask)
+
+    out = flash_attention(q, k, v, mask, causal=True,
+                          block_q=block, block_k=block, interpret=True)
+    ref = _reference(q, k, v, mask, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_non_causal():
+    rng = np.random.default_rng(1)
+    b, h, s, d = 1, 2, 128, 32
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    mask = jnp.ones((b, s), jnp.int32)
+    out = flash_attention(q, k, v, mask, causal=False,
+                          block_q=64, block_k=64, interpret=True)
+    ref = _reference(q, k, v, mask, causal=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bf16_io():
+    rng = np.random.default_rng(2)
+    b, h, s, d = 1, 2, 128, 64
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    mask = jnp.ones((b, s), jnp.int32)
+    out = flash_attention(q, k, v, mask, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                     v.astype(jnp.float32), mask)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_fully_masked_query_rows_zero():
+    rng = np.random.default_rng(3)
+    b, h, s, d = 1, 1, 64, 32
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    mask = np.ones((b, s), np.int32)
+    mask[0, 0] = 0  # row 0 attends nothing under causal+invalid
+    out = flash_attention(q, k, v, jnp.asarray(mask), causal=True,
+                          block_q=32, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out)[0, :, 0], 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("s,kv_extra", [(256, 0), (200, 56), (64, 64)])
+def test_chunked_matches_reference(s, kv_extra):
+    from mraudio_tpu.ops.attention import chunked_attention
+
+    rng = np.random.default_rng(5)
+    b, h, d = 2, 3, 32
+    kv = s + kv_extra  # rectangular: prefill over a longer (padded) cache
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, kv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, kv, d)), jnp.float32)
+    mask = np.ones((b, kv), np.int32)
+    mask[0, 10:20] = 0
+    mask[1, :7] = 0
+    mask[:, s:] = 0  # cache tail not yet written
+    mask = jnp.asarray(mask)
+
+    out = chunked_attention(q, k, v, mask, causal=True, block_k=64)
+    ref = _reference(q, k[:, :, :s], v[:, :, :s], mask[:, :s], causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_equals_pallas_interpret():
+    from mraudio_tpu.ops.attention import chunked_attention
+
+    rng = np.random.default_rng(6)
+    b, h, s, d = 1, 2, 128, 32
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    mask = jnp.ones((b, s), jnp.int32)
+    a = chunked_attention(q, k, v, mask, causal=True, block_k=64)
+    p = flash_attention(q, k, v, mask, causal=True, block_q=64, block_k=64,
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(p), rtol=2e-5, atol=2e-5)
