@@ -188,6 +188,12 @@ class XInstructBLIPConfig(_ConfigBase):
     modalities: tuple = ("audio", "video")
     interleave_seconds: bool = True
     enumerate_inputs: bool = False
+    # Timestamp rendering for the interleave: seconds_integers (live
+    # reference behavior), relative_integers, seconds_floats,
+    # relative_floats, framenumbers (utils/utils.py:462-603 experiment
+    # surface).  Relative formats require convert_to_absolute_time on the
+    # predictions (handled by the eval driver).
+    time_format: str = "seconds_integers"
     max_txt_len: int = 128
     max_output_txt_len: int = 64
     max_new_tokens: int = 64

@@ -56,29 +56,51 @@ def run_inference(
     dataset = MRDataset(cfg.data, annotations=annotations, split="eval")
     loader = BatchLoader(dataset, batch_size, shuffle=False)
 
+    from mraudio_tpu.utils.profiling import StageTimes
+
+    times = StageTimes()
     records = []
     n_clips = 0
     start = time.time()
     for batch in loader:
-        outputs = model.generate(params, batch)
-        for qid, query, vid, raw_out, valid in zip(
-            batch.qid, batch.query, batch.vid, outputs, batch.valid
-        ):
-            if not valid:
-                continue
-            records.append(
-                {
-                    "qid": qid,
-                    "query": query,
-                    "vid": vid,
-                    "pred_relevant_windows": moment_str_to_list(post_process(raw_out)),
-                    "raw_out": raw_out,
-                }
-            )
-            n_clips += 1
+        with times.stage("generate", items=int(batch.valid.sum())):
+            outputs = model.generate(params, batch)
+        with times.stage("parse_write"):
+            for qid, query, vid, raw_out, dur, valid in zip(
+                batch.qid, batch.query, batch.vid, outputs, batch.duration,
+                batch.valid,
+            ):
+                if not valid:
+                    continue
+                windows = moment_str_to_list(post_process(raw_out))
+                # Relative time-format experiments emit 0-100 / 0-1 values;
+                # scale back to seconds before scoring
+                # (utils/utils.py:306-361 counterpart, window-level).
+                fmt = cfg.model.time_format
+                if fmt in ("relative_integers", "relative_floats"):
+                    div = 100.0 if fmt == "relative_integers" else 1.0
+                    windows = [
+                        [round(w[0] / div * dur, 2), round(w[1] / div * dur, 2)]
+                        if len(w) == 2 and -1 not in w
+                        else w
+                        for w in windows
+                    ]
+                records.append(
+                    {
+                        "qid": qid,
+                        "query": query,
+                        "vid": vid,
+                        "pred_relevant_windows": windows,
+                        "raw_out": raw_out,
+                    }
+                )
+                n_clips += 1
     elapsed = time.time() - start
     clips_per_sec = n_clips / elapsed if elapsed > 0 else 0.0
-    logger.info("inference: %d clips in %.2fs (%.3f clips/sec)", n_clips, elapsed, clips_per_sec)
+    logger.info(
+        "inference: %d clips in %.2fs (%.3f clips/sec); stages: %s",
+        n_clips, elapsed, clips_per_sec, times.summary(),
+    )
 
     if output_file:
         os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)

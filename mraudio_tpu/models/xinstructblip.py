@@ -73,6 +73,23 @@ class _Proj(nn.Module):
         )(x)
 
 
+def _render_timestamps(row, duration, time_format: str) -> list:
+    """Per-frame timestamp values under the configured format
+    (reference ``utils/utils.py:462-603``); the live path is plain
+    integer seconds."""
+    if time_format == "seconds_integers":
+        return [int(ts) for ts in row]
+    if time_format == "relative_integers":
+        return [int(round(float(ts) / duration, 2) * 100) for ts in row]
+    if time_format == "seconds_floats":
+        return [round(float(ts), 2) for ts in row]
+    if time_format == "relative_floats":
+        return [round(float(ts) / duration, 2) for ts in row]
+    if time_format == "framenumbers":
+        return list(range(len(row)))
+    raise ValueError(f"unknown time_format {time_format!r}")
+
+
 @dataclasses.dataclass
 class TextBatch:
     """Host-tokenized text chunks with static shapes."""
@@ -192,7 +209,11 @@ class XInstructBLIP:
             padding_side="right", truncation_side="left",
         )
 
-        flat_ts = [f" {int(ts)} " for row in timestamps for ts in row]
+        flat_ts = [
+            f" {ts} "
+            for row, dur in zip(timestamps, duration)
+            for ts in _render_timestamps(row, dur, cfg.time_format)
+        ]
         ts_enc = self.llm_tokenizer(
             flat_ts, max_length=cfg.tokens_per_timestamp,
             padding_side="right", truncation_side="right",
