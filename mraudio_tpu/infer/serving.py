@@ -1,0 +1,187 @@
+"""Slot-based continuous batching for moment-retrieval serving.
+
+The batched eval driver (``infer/evaluate.py``) processes uniform
+batches; a *serving* deployment receives requests at arbitrary times.
+This engine keeps ``max_slots`` decode lanes live on the chip:
+
+* a new request prefills (batch-of-1 jit) and its KV slice is copied
+  into a free slot of the shared cache while other slots keep decoding;
+* every engine step advances ALL active slots by one token in a single
+  jitted call — slots may sit at different sequence lengths, handled by
+  per-slot cache write columns (one-hot scatter inside the attention);
+* a slot frees the moment its row hits EOS or the token budget, so a
+  short answer never waits on the longest request in flight — the
+  continuous-batching win over static batching.
+
+Everything on device is fixed-shape: slot count, prefix length, and
+token budget are compile-time constants; occupancy lives in host masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mraudio_tpu.models.llama import LlamaModel, init_cache
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    prefix_embeds: np.ndarray   # (S, D)
+    prefix_mask: np.ndarray     # (S,)
+
+
+@dataclasses.dataclass
+class Completion:
+    request_id: int
+    token_ids: list
+
+
+class ContinuousBatcher:
+    def __init__(
+        self,
+        model: LlamaModel,
+        params,
+        prefix_len: int,
+        max_new_tokens: int,
+        eos_id: int,
+        max_slots: int = 4,
+    ):
+        self.model = model
+        self.params = params
+        self.prefix_len = prefix_len
+        self.max_new_tokens = max_new_tokens
+        self.eos_id = eos_id
+        self.max_slots = max_slots
+        self.max_len = prefix_len + max_new_tokens
+
+        self.cache = init_cache(model.cfg, max_slots, self.max_len)
+        self.valid = np.zeros((max_slots, self.max_len), np.int32)
+        self.positions = np.zeros((max_slots,), np.int32)  # last RoPE position
+        self.lengths = np.full((max_slots,), prefix_len, np.int32)  # next write col
+        self.cur_ids = np.zeros((max_slots,), np.int32)
+        self.emitted: list[list[int]] = [[] for _ in range(max_slots)]
+        self.slot_request: list[Optional[int]] = [None] * max_slots
+        self.active = np.zeros((max_slots,), bool)
+
+        self._prefill = jax.jit(self._prefill_fn)
+        self._decode = jax.jit(self._decode_fn, donate_argnums=(1,))
+        self._write_slot = jax.jit(self._write_slot_fn, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+
+    def _prefill_fn(self, params, embeds, prefix_mask):
+        """Batch-of-1 prefill over a cache sized to this slot's region."""
+        s = self.prefix_len
+        positions = jnp.maximum(jnp.cumsum(prefix_mask, axis=-1) - 1, 0)
+        q_idx = jnp.arange(s)[:, None]
+        k_idx = jnp.arange(self.max_len)[None, :]
+        pmask_full = jnp.zeros((1, self.max_len), jnp.int32).at[:, :s].set(prefix_mask)
+        attend = ((k_idx <= q_idx)[None, None]) & pmask_full[:, None, None, :].astype(bool)
+        cache = init_cache(self.model.cfg, 1, self.max_len)
+        logits, cache = self.model.apply(
+            params, embeds, attend, positions, cache=cache, cache_index=0,
+            kv_valid=pmask_full, causal=True,
+        )
+        next_id = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        return cache, next_id[0], positions[0, -1]
+
+    def _write_slot_fn(self, cache, one_cache, slot):
+        out = []
+        for layer, one in zip(cache, one_cache):
+            out.append({
+                "k": jax.lax.dynamic_update_slice(
+                    layer["k"], one["k"], (slot, 0, 0, 0)
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    layer["v"], one["v"], (slot, 0, 0, 0)
+                ),
+            })
+        return out
+
+    def _decode_fn(self, params, cache, cur_ids, positions, valid, write_cols):
+        embeds = self.model.apply(
+            params, method=lambda m, ids: m.embed(ids), ids=cur_ids[:, None]
+        )
+        attend = valid[:, None, None, :].astype(bool)
+        logits, cache = self.model.apply(
+            params, embeds, attend, (positions + 1)[:, None],
+            cache=cache, cache_index=write_cols,
+        )
+        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+    # ------------------------------------------------------------------
+
+    def free_slots(self) -> int:
+        return int((~self.active).sum())
+
+    def submit(self, request: Request) -> bool:
+        """Prefill a request into a free slot.  False if no slot free."""
+        free = np.where(~self.active)[0]
+        if len(free) == 0:
+            return False
+        slot = int(free[0])
+
+        one_cache, first_id, last_pos = self._prefill(
+            self.params,
+            jnp.asarray(request.prefix_embeds[None]),
+            jnp.asarray(request.prefix_mask[None]),
+        )
+        self.cache = self._write_slot(self.cache, one_cache, slot)
+        self.valid[slot] = 0
+        self.valid[slot, : self.prefix_len] = np.asarray(request.prefix_mask)
+        self.positions[slot] = int(last_pos)
+        self.lengths[slot] = self.prefix_len
+        self.cur_ids[slot] = int(first_id)
+        self.emitted[slot] = []
+        self.slot_request[slot] = request.request_id
+        self.active[slot] = True
+        return True
+
+    def step(self) -> list[Completion]:
+        """Advance every active slot by one token."""
+        if not self.active.any():
+            return []
+
+        active_idx = np.where(self.active)[0]
+        # the token being written becomes attendable this step
+        for i in active_idx:
+            self.valid[i, self.lengths[i]] = 1
+
+        nxt, self.cache = self._decode(
+            self.params,
+            self.cache,
+            jnp.asarray(self.cur_ids),
+            jnp.asarray(self.positions),
+            jnp.asarray(self.valid),
+            jnp.asarray(self.lengths),
+        )
+        nxt = np.asarray(nxt)
+
+        completions = []
+        for i in active_idx:
+            token = int(self.cur_ids[i])
+            self.emitted[i].append(token)
+            done = token == self.eos_id or len(self.emitted[i]) >= self.max_new_tokens
+            if done:
+                completions.append(Completion(self.slot_request[i], self.emitted[i]))
+                self.active[i] = False
+                self.slot_request[i] = None
+                self.valid[i] = 0
+            else:
+                self.cur_ids[i] = int(nxt[i])
+                self.positions[i] += 1
+                self.lengths[i] += 1
+        return completions
+
+    def run_to_completion(self) -> list[Completion]:
+        out = []
+        while self.active.any():
+            out.extend(self.step())
+        return out

@@ -141,10 +141,22 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, positions, cfg.rope_theta)
 
         if cache is not None:
-            # cache["k"]: (B, max_len, kv_h, d).  Write this call's keys at
-            # [cache_index, cache_index + s).
-            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
+            # cache["k"]: (B, max_len, kv_h, d).  Scalar cache_index writes
+            # this call's keys at [cache_index, cache_index + s) for every
+            # row; a (B,)-shaped cache_index writes row b's single token at
+            # its own column (continuous-batching decode, s == 1).
+            if getattr(cache_index, "ndim", 0) == 1:
+                max_len = cache["k"].shape[1]
+                col = jax.nn.one_hot(cache_index, max_len, dtype=bool)  # (B, max_len)
+                ck = jnp.where(
+                    col[:, :, None, None], k.astype(cache["k"].dtype), cache["k"]
+                )
+                cv = jnp.where(
+                    col[:, :, None, None], v.astype(cache["v"].dtype), cache["v"]
+                )
+            else:
+                ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
             new_cache = {"k": ck, "v": cv}
             k_full, v_full = ck, cv
         else:

@@ -1,0 +1,96 @@
+"""Continuous-batching engine vs. the batched greedy reference path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mraudio_tpu.config import tiny_model_config
+from mraudio_tpu.infer.generate import greedy_generate
+from mraudio_tpu.infer.serving import ContinuousBatcher, Request
+from mraudio_tpu.models.layers import positions_from_mask
+from mraudio_tpu.models.llama import LlamaModel
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_model_config().llm
+    model = LlamaModel(cfg, None)
+    s, d = 12, cfg.hidden_size
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, s, d))
+    mask01 = jnp.ones((1, s), jnp.int32)
+    causal = jnp.tril(jnp.ones((s, s), bool))[None, None] & mask01[:, None, None, :].astype(bool)
+    ids = jnp.zeros((1, s), jnp.int32)
+    params = {
+        "params": model.init(
+            key, x, causal, positions_from_mask(mask01), ids,
+            method=LlamaModel.init_all,
+        )["params"]
+    }
+    return model, params, s, d
+
+
+def _make_prefixes(n, s, d, seed=1):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        emb = rng.standard_normal((s, d)).astype(np.float32)
+        mask = np.ones(s, np.int32)
+        mask[: i % 3] = 0  # varying left padding
+        out.append((emb, mask))
+    return out
+
+
+def test_serving_matches_batched_greedy(setup):
+    model, params, s, d = setup
+    max_new = 6
+    prefixes = _make_prefixes(3, s, d)
+
+    # reference: batched greedy over all prefixes at once
+    embeds = jnp.asarray(np.stack([e for e, _ in prefixes]))
+    masks = jnp.asarray(np.stack([m for _, m in prefixes]))
+    ref_tokens = np.asarray(
+        greedy_generate(model, params, embeds, masks, max_new, eos_id=2)
+    )
+
+    engine = ContinuousBatcher(
+        model, params, prefix_len=s, max_new_tokens=max_new, eos_id=2, max_slots=2
+    )
+    # submit 2, then feed the third when a slot frees — true continuous
+    # admission
+    pending = [Request(i, e, m) for i, (e, m) in enumerate(prefixes)]
+    results = {}
+    assert engine.submit(pending.pop(0))
+    assert engine.submit(pending.pop(0))
+    while engine.active.any() or pending:
+        if pending and engine.free_slots() > 0:
+            engine.submit(pending.pop(0))
+        for comp in engine.step():
+            results[comp.request_id] = comp.token_ids
+
+    assert set(results) == {0, 1, 2}
+    for rid, tokens in results.items():
+        ref = ref_tokens[rid].tolist()
+        # engine stops at eos; reference latches eos afterwards
+        trimmed = ref[: len(tokens)]
+        assert tokens == trimmed, f"request {rid}: {tokens} != {trimmed}"
+        if len(tokens) < len(ref):
+            assert tokens[-1] == 2  # ended because of eos
+
+
+def test_slot_reuse_after_completion(setup):
+    model, params, s, d = setup
+    engine = ContinuousBatcher(
+        model, params, prefix_len=s, max_new_tokens=3, eos_id=2, max_slots=1
+    )
+    prefixes = _make_prefixes(2, s, d, seed=7)
+    assert engine.submit(Request(10, *prefixes[0]))
+    assert not engine.submit(Request(11, *prefixes[1]))  # full
+    out1 = engine.run_to_completion()
+    assert out1 and out1[0].request_id == 10
+    assert engine.submit(Request(11, *prefixes[1]))
+    out2 = engine.run_to_completion()
+    assert out2[0].request_id == 11
+    assert len(out2[0].token_ids) <= 3
