@@ -105,7 +105,40 @@ class MRDataset:
 
         return os.path.join(self.cfg.video_folder, ann["vid"] + ".mp4")
 
-    def get(self, index: int) -> Sample:
+    def get(self, index: int, strict: bool = False) -> Sample:
+        """Fetch one sample.  Decode failures fall back to a black clip +
+        silence with a logged warning (``strict=True`` re-raises) — the
+        reference instead swallows errors into a bare except and can feed
+        ``video=None`` into a batch (``utils/mr_dataset.py:34-36,51-53``)."""
+        try:
+            return self._get(index)
+        except Exception:
+            if strict:
+                raise
+            import logging
+
+            logging.getLogger("mraudio_tpu").warning(
+                "decode failed for %s; substituting blank sample",
+                self.annotation[index].get("vid"), exc_info=True,
+            )
+            return self._blank_sample(index)
+
+    def _blank_sample(self, index: int) -> Sample:
+        ann = self.annotation[index]
+        size = self.cfg.image_size
+        return Sample(
+            video=np.zeros((self.cfg.n_frms, size, size, 3), np.uint8),
+            audio=np.zeros(self.audio_num_samples, np.float32),
+            timestamps=np.zeros(self.cfg.n_frms, np.int32),
+            duration=ann["duration"],
+            text_input=build_query_prompt(ann["query"]),
+            text_output=str(ann["relevant_windows"]),
+            qid=ann["qid"],
+            query=ann["query"],
+            vid=ann["vid"],
+        )
+
+    def _get(self, index: int) -> Sample:
         ann = self.annotation[index]
         path = self.video_path(ann)
 

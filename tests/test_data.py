@@ -132,3 +132,19 @@ def test_synthetic_video_deterministic():
     np.testing.assert_array_equal(f1, f2)
     f3 = src.get_batch("b.mp4", np.array([0, 5]), 16, 16)
     assert not np.array_equal(f1, f3)
+
+
+def test_decode_failure_falls_back_to_blank(tmp_path):
+    from mraudio_tpu.data.video import VideoSource
+
+    class FailingSource(VideoSource):
+        def probe(self, path):
+            raise IOError("corrupt file")
+
+    cfg = tiny_data_config(n_frms=4)
+    path = _write_annotations(tmp_path, n=1)
+    ds = MRDataset(cfg, annotation_path=path, video_source=FailingSource())
+    s = ds.get(0)  # non-strict: blank fallback
+    assert s.video.sum() == 0 and s.audio.sum() == 0
+    with pytest.raises(IOError):
+        ds.get(0, strict=True)
