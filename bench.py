@@ -119,44 +119,51 @@ def run(profile: str, steps: int | None = None, device_kind: str | None = None):
     }
 
 
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_cpu_cache.json")
+
+
 def cpu_baseline(profile: str) -> float:
-    """Measure (or load cached) CPU clips/sec for the same pipeline."""
-    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".bench_cpu_cache.json")
-    cache = {}
-    if os.path.exists(cache_path):
-        with open(cache_path) as f:
+    """Cached CPU clips/sec for the same pipeline (0.0 when absent).
+
+    The CPU measurement is expensive (a ~1B-parameter pipeline on one
+    host core) so it is an explicit offline step —
+    ``python bench.py --measure-cpu-baseline`` — whose result is
+    committed in ``.bench_cpu_cache.json``; the routine benchmark run
+    never blocks on it."""
+    if os.path.exists(CACHE_PATH):
+        with open(CACHE_PATH) as f:
             cache = json.load(f)
-    if profile in cache:
-        return cache[profile]
+        return cache.get(profile, 0.0)
+    return 0.0
 
-    import subprocess
-    import sys
 
-    env = dict(os.environ)
-    env["MRAUDIO_BENCH_FORCE_CPU"] = "1"
-    env["MRAUDIO_BENCH_PROFILE"] = profile
-    env["MRAUDIO_BENCH_STEPS"] = "1"
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3000,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        value = json.loads(line)["value"]
-    except Exception as exc:  # noqa: BLE001
-        print(f"# cpu baseline failed: {exc}", flush=True)
-        return 0.0
-    cache[profile] = value
-    with open(cache_path, "w") as f:
+def measure_cpu_baseline(profile: str) -> float:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    result = run(profile, steps=1)
+    cache = {}
+    if os.path.exists(CACHE_PATH):
+        with open(CACHE_PATH) as f:
+            cache = json.load(f)
+    cache[profile] = round(result["clips_per_sec"], 4)
+    with open(CACHE_PATH, "w") as f:
         json.dump(cache, f)
-    return value
+    print(json.dumps({"profile": profile, "cpu_clips_per_sec": cache[profile]}))
+    return cache[profile]
 
 
 def main():
+    import sys
+
     profile = os.environ.get("MRAUDIO_BENCH_PROFILE", "base")
     steps_env = os.environ.get("MRAUDIO_BENCH_STEPS")
     steps = int(steps_env) if steps_env else None
+
+    if "--measure-cpu-baseline" in sys.argv:
+        measure_cpu_baseline(profile)
+        return
 
     import jax
 

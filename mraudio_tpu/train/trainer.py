@@ -216,6 +216,14 @@ class Trainer:
         logger.info("Saving checkpoint at epoch %d to %s.", epoch, path)
         return path
 
+    def reload_best_model(self) -> None:
+        """Load ``checkpoint_best`` into the live params (the reference's
+        ``_reload_best_model``, ``utils/trainer.py:212-230``)."""
+        path = os.path.join(self.cfg.train.output_dir, "checkpoint_best")
+        payload = ckpt.load_checkpoint(path, self.trainable, self.opt_state)
+        self.trainable = {k: jnp.asarray(payload["model"][k]) for k in self.trainable}
+        logger.info("Loading checkpoint from %s.", path)
+
     def _load_checkpoint(self, path: str) -> None:
         payload = ckpt.load_checkpoint(path, self.trainable, self.opt_state)
         restored = payload["model"]

@@ -78,3 +78,17 @@ def test_charades_val_split_deterministic(tmp_path):
     val2, train2 = charades_val_split(str(path), n_val=100)
     assert val1 == val2 and len(val1) == 100
     assert not (val1 & train1)
+
+
+def test_merge_chunks(tmp_path):
+    from mraudio_tpu.cli.merge_chunks import merge
+
+    a = tmp_path / "a.jsonl"
+    b = tmp_path / "b.jsonl"
+    a.write_text(json.dumps({"qid": 1, "pred_relevant_windows": [[0, 1]]}) + "\n"
+                 + json.dumps({"qid": 2, "pred_relevant_windows": [[2, 3]]}) + "\n")
+    b.write_text(json.dumps({"qid": 3, "pred_relevant_windows": [[4, 5]]}) + "\n"
+                 + json.dumps({"qid": 2, "pred_relevant_windows": [[9, 9]]}) + "\n")
+    merged = merge([str(a), str(b)])
+    assert [r["qid"] for r in merged] == [1, 2, 3]
+    assert merged[1]["pred_relevant_windows"] == [[9, 9]]  # last occurrence wins
