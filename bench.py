@@ -96,6 +96,9 @@ def run(profile: str, steps: int | None = None, device_kind: str | None = None):
     steps = steps or default_steps
     model = XInstructBLIP(model_cfg, audio_cfg=data_cfg.audio)
     params = model.init_params(jax.random.PRNGKey(0))
+    from mraudio_tpu.models.casting import cast_params_for_inference
+
+    params = cast_params_for_inference(params)
     batch = make_batch(data_cfg, model, batch_size)
 
     # Warmup / compile.

@@ -46,6 +46,9 @@ def run_inference(
         import jax
 
         params = model.init_params(jax.random.PRNGKey(cfg.train.seed))
+    from mraudio_tpu.models.casting import cast_params_for_inference
+
+    params = cast_params_for_inference(params)
 
     if annotations is None:
         annotations = load_annotations(cfg.data.annotation_file)

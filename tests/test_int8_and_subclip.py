@@ -81,3 +81,26 @@ def test_subclip_annotation_uses_window(tmp_path):
     assert (captured["indices"] < 100).all()
     # timestamps relative to the clip origin
     assert sample.timestamps.max() <= 4
+
+
+def test_inference_cast_is_output_identical(tmp_path):
+    """Pre-casting weights to bf16 must be bit-identical to the per-matmul
+    cast (the matmuls consumed bf16 either way)."""
+    from mraudio_tpu.models.casting import cast_params_for_inference
+
+    cfg = tiny_model_config()
+    model = XInstructBLIP(cfg, audio_cfg=tiny_data_config().audio)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    path = str(tmp_path / "ann.jsonl")
+    with open(path, "w") as f:
+        f.write(json.dumps({
+            "vid": "v0", "qid": 0, "query": "things happen",
+            "duration": 150, "relevant_windows": [[5, 20]],
+        }) + "\n")
+    ds = MRDataset(tiny_data_config(n_frms=4), annotation_path=path)
+    batch = collate([ds.get(0)], 1)
+
+    out_fp32 = model.generate(params, batch)
+    out_bf16 = model.generate(cast_params_for_inference(params), batch)
+    assert out_fp32 == out_bf16
