@@ -106,9 +106,13 @@ def run(profile: str, steps: int | None = None, device_kind: str | None = None):
     model.generate(params, batch)
     compile_time = time.time() - t0
 
+    # Steady state with transfer/compute overlap (as the eval driver runs).
     t0 = time.time()
-    for _ in range(steps):
-        out = model.generate(params, batch)
+    dev = model.device_inputs(batch)
+    for i in range(steps):
+        next_dev = model.device_inputs(batch) if i + 1 < steps else None
+        out = model.generate(params, batch, device_inputs=dev)
+        dev = next_dev
     elapsed = time.time() - t0
     clips_per_sec = batch_size * steps / elapsed
     return {

@@ -216,6 +216,9 @@ class XInstructBLIPConfig(_ConfigBase):
 # --------------------------------------------------------------------------
 
 DATASET_N_FRMS = {"QVH": 60, "Charades_STA": 20}  # evaluate.py:15-16
+# Max clip durations (seconds, slightly padded) — bounds the audio bytes
+# shipped per sample; the fbank zero-pads beyond the real audio.
+DATASET_MAX_AUDIO_SECONDS = {"QVH": 152.0, "Charades_STA": 45.0}
 
 
 @dataclass(frozen=True)
@@ -235,6 +238,10 @@ class AudioFrontendConfig(_ConfigBase):
     mel_frames_per_chunk: int = 512
     preemphasis: float = 0.97
     dither: float = 0.0
+    # Cap on shipped audio (seconds).  The fbank zero-pads past the real
+    # audio anyway, so capping at the dataset's max clip duration (150s
+    # for QVH) halves host->device bytes vs covering all n_frms chunks.
+    max_audio_seconds: float = 0.0  # 0 = full n_frms * chunk coverage
 
     @property
     def win_length(self) -> int:
@@ -275,6 +282,10 @@ class DataConfig(_ConfigBase):
             raise ValueError(
                 f"unknown dataset {dataset!r}; expected one of {sorted(DATASET_N_FRMS)}"
             )
+        kwargs.setdefault(
+            "audio",
+            AudioFrontendConfig(max_audio_seconds=DATASET_MAX_AUDIO_SECONDS[dataset]),
+        )
         return cls(dataset=dataset, n_frms=DATASET_N_FRMS[dataset], **kwargs)
 
 

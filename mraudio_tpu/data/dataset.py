@@ -36,7 +36,7 @@ from mraudio_tpu.text.prompts import build_query_prompt
 @dataclasses.dataclass
 class Sample:
     video: np.ndarray          # (T, H, W, 3) uint8
-    audio: np.ndarray          # (num_samples,) float32 waveform
+    audio: np.ndarray          # (num_samples,) int16 waveform
     timestamps: np.ndarray     # (T,) int32 seconds
     duration: float
     text_input: str
@@ -49,7 +49,7 @@ class Sample:
 @dataclasses.dataclass
 class Batch:
     video: np.ndarray          # (B, T, H, W, 3) uint8
-    audio: np.ndarray          # (B, num_samples) float32
+    audio: np.ndarray          # (B, num_samples) int16
     timestamps: np.ndarray     # (B, T) int32
     duration: list
     text_input: list
@@ -98,7 +98,13 @@ class MRDataset:
     def audio_num_samples(self) -> int:
         a = self.cfg.audio
         total_mel_frames = self.cfg.n_frms * a.mel_frames_per_chunk
-        return a.hop_length * (total_mel_frames - 1) + a.win_length
+        full = a.hop_length * (total_mel_frames - 1) + a.win_length
+        if a.max_audio_seconds > 0:
+            cap = int(a.max_audio_seconds * a.sampling_rate)
+            # round down to a whole mel frame so fbank shapes stay exact
+            cap = a.hop_length * max((cap - a.win_length) // a.hop_length, 1) + a.win_length
+            return min(full, cap)
+        return full
 
     def video_path(self, ann: dict) -> str:
         import os
@@ -128,7 +134,7 @@ class MRDataset:
         size = self.cfg.image_size
         return Sample(
             video=np.zeros((self.cfg.n_frms, size, size, 3), np.uint8),
-            audio=np.zeros(self.audio_num_samples, np.float32),
+            audio=np.zeros(self.audio_num_samples, np.int16),
             timestamps=np.zeros(self.cfg.n_frms, np.int32),
             duration=ann["duration"],
             text_input=build_query_prompt(ann["query"]),
@@ -160,6 +166,9 @@ class MRDataset:
         waveform = self.audio_source.load(
             path, self.audio_num_samples, self.cfg.audio.sampling_rate
         )
+        # ship int16 across the host->device boundary (half the bytes;
+        # BEATs scales to int16 range before the fbank anyway)
+        waveform = np.clip(waveform * 32767.0, -32768, 32767).astype(np.int16)
         stamps = np.asarray(frame_timestamps(indices, fps), dtype=np.int32)
 
         return Sample(

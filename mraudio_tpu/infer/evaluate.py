@@ -65,9 +65,19 @@ def run_inference(
     records = []
     n_clips = 0
     start = time.time()
-    for batch in loader:
+    # Double-buffer: kick off the next batch's host->device transfer while
+    # the current batch computes.
+    it = iter(loader)
+    current = next(it, None)
+    dev = model.device_inputs(current) if current is not None else None
+    while current is not None:
+        batch = current
+        batch_dev = dev
+        current = next(it, None)
+        if current is not None:
+            dev = model.device_inputs(current)
         with times.stage("generate", items=int(batch.valid.sum())):
-            outputs = model.generate(params, batch)
+            outputs = model.generate(params, batch, device_inputs=batch_dev)
         with times.stage("parse_write"):
             for qid, query, vid, raw_out, dur, valid in zip(
                 batch.qid, batch.query, batch.vid, outputs, batch.duration,

@@ -379,7 +379,14 @@ class XInstructBLIP:
         mask = jnp.concatenate([pmask, prompt_mask], axis=1)
         return embeds, mask
 
-    def generate(self, params, batch) -> list[str]:
+    def device_inputs(self, batch) -> tuple:
+        """Start async host->device transfer of the heavy batch arrays;
+        call one batch ahead to overlap the transfer with compute."""
+        import jax
+
+        return (jax.device_put(batch.video), jax.device_put(batch.audio))
+
+    def generate(self, params, batch, device_inputs=None) -> list[str]:
         """Batched greedy span generation → decoded strings
         (reference ``models/xinstructblip.py:221-397``)."""
         cfg = self.cfg
@@ -387,10 +394,13 @@ class XInstructBLIP:
         text = self.prepare_text(
             batch.text_input, np.asarray(batch.timestamps), batch.duration
         )
+        if device_inputs is None:
+            device_inputs = self.device_inputs(batch)
+        video_dev, audio_dev = device_inputs
         embeds, mask = self._prefix_and_prompt(
             params,
-            jnp.asarray(batch.video),
-            jnp.asarray(batch.audio),
+            video_dev,
+            audio_dev,
             jnp.asarray(text.qformer_ids), jnp.asarray(text.qformer_mask),
             jnp.asarray(text.ts_ids), jnp.asarray(text.ts_mask),
             jnp.asarray(text.dur_ids), jnp.asarray(text.dur_mask),

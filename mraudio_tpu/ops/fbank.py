@@ -144,7 +144,10 @@ def beats_frontend(
     reference consumes (``models/xinstructblip.py:268-275``), computed
     here in a single device pass.
     """
-    scaled = waveform * 32768.0  # int16 range, as BEATs preprocesses
+    if jnp.issubdtype(waveform.dtype, jnp.integer):
+        scaled = waveform.astype(jnp.float32)  # already int16-range
+    else:
+        scaled = waveform * 32768.0  # int16 range, as BEATs preprocesses
     fbank = kaldi_fbank(
         scaled,
         win_length=cfg.win_length,
