@@ -82,6 +82,9 @@ class ViTConfig(_ConfigBase):
     use_class_token: bool = True
     layer_norm_eps: float = 1e-6
     dtype: str = "bfloat16"
+    # rematerialize blocks under grad (reference use_grad_checkpoint,
+    # models/xinstructblip.py:83)
+    grad_checkpoint: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -153,6 +156,9 @@ class LlamaConfig(_ConfigBase):
     # "int8" quantizes base weights (the TPU counterpart of load_in_8bit);
     # "none" keeps them in `dtype`.
     quantization: str = "none"
+    # rematerialize decoder blocks under grad (reference
+    # gradient_checkpointing_enable, models/xinstructblip.py:157)
+    grad_checkpoint: bool = False
     # Attention implementation for multi-token (prefill/training) calls:
     # "chunked" = online-softmax lax.scan (O(S*D) memory, portable, the
     # default), "pallas" = the hand-written Mosaic kernel (real TPU

@@ -73,6 +73,9 @@ class EvaViT(nn.Module):
         )
         x = x + pos.astype(dtype)
 
+        block_cls = ViTBlock
+        if cfg.grad_checkpoint:
+            block_cls = nn.remat(ViTBlock)
         for i in range(cfg.depth):
-            x = ViTBlock(cfg, dtype, name=f"block_{i}")(x)
+            x = block_cls(cfg, dtype, name=f"block_{i}")(x)
         return x

@@ -259,8 +259,11 @@ class LlamaModel(nn.Module):
             param_dtype=jnp.float32,
             name="embed_tokens",
         )
+        block_cls = LlamaBlock
+        if self.cfg.grad_checkpoint:
+            block_cls = nn.remat(LlamaBlock, static_argnums=(6, 8))
         self.blocks = [
-            LlamaBlock(self.cfg, self.lora, name=f"layer_{i}")
+            block_cls(self.cfg, self.lora, name=f"layer_{i}")
             for i in range(self.cfg.num_layers)
         ]
         self.final_norm = RMSNorm(epsilon=self.cfg.rms_norm_eps, name="final_norm")
@@ -292,8 +295,9 @@ class LlamaModel(nn.Module):
         new_cache = []
         for i, block in enumerate(self.blocks):
             layer_cache = cache[i] if cache is not None else None
+            # fully positional so nn.remat's static_argnums line up
             x, c = block(x, mask, positions, layer_cache, cache_index,
-                         deterministic, kv_valid=kv_valid, causal=causal)
+                         deterministic, kv_valid, causal)
             new_cache.append(c)
         x = self.final_norm(x)
         if return_hidden:
