@@ -92,6 +92,11 @@ class Trainer:
         self.global_step = 0
         self._step_fn = None
 
+        from mraudio_tpu.utils.runlog import RunLogger
+
+        os.makedirs(tc.output_dir, exist_ok=True)
+        self.runlog = RunLogger(tc.output_dir, "train")
+
         if tc.resume_ckpt_path:
             self._load_checkpoint(tc.resume_ckpt_path)
 
@@ -142,6 +147,9 @@ class Trainer:
                 metrics = self.eval_epoch()
                 agg = metrics["brief"]["MR-full-R1-avg"]
                 logger.info("MR performance at epoch %d: %s", epoch, agg)
+                self.runlog.log("val", epoch=epoch, **{
+                    k: float(v) for k, v in metrics["brief"].items()
+                })
                 results[epoch] = agg
                 if jax.process_index() == 0 and agg > best_metric:
                     best_epoch, best_metric = epoch, agg
@@ -172,9 +180,10 @@ class Trainer:
                 self.trainable, self.frozen, self.opt_state, arrays
             )
             self.global_step += 1
-            metric_logger.update(
-                loss=float(loss), lr=float(self.schedule(self.global_step - 1))
-            )
+            lr = float(self.schedule(self.global_step - 1))
+            metric_logger.update(loss=float(loss), lr=lr)
+            self.runlog.log("train_step", step=self.global_step, epoch=epoch,
+                            loss=float(loss), lr=lr)
 
         metric_logger.synchronize_between_processes()
         logger.info("Averaged stats: %s", metric_logger.global_avg())

@@ -109,7 +109,10 @@ def test_trainer_end_to_end(tiny_run):
 
 def test_trainer_resume(tiny_run):
     out = tiny_run.train.output_dir
-    ckpts = [p for p in os.listdir(out) if p != "checkpoint_best"]
+    ckpts = [
+        p for p in os.listdir(out)
+        if p.startswith("checkpoint_") and p != "checkpoint_best"
+    ]
     assert ckpts
     resume_cfg = tiny_run.replace(
         train=tiny_run.train.replace(
