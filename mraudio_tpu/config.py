@@ -18,20 +18,6 @@ from typing import Any
 import yaml
 
 
-def _fields_from_dict(cls, data: dict):
-    kwargs = {}
-    for f in dataclasses.fields(cls):
-        if f.name not in data:
-            continue
-        value = data[f.name]
-        if dataclasses.is_dataclass(f.type) and isinstance(value, dict):
-            value = f.type.from_dict(value)
-        elif isinstance(value, dict) and hasattr(f.type, "from_dict"):
-            value = f.type.from_dict(value)
-        kwargs[f.name] = value
-    return cls(**kwargs)
-
-
 class _ConfigBase:
     @classmethod
     def from_dict(cls, data: dict):
