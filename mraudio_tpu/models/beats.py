@@ -47,15 +47,14 @@ def t5_relative_buckets(
     return ret
 
 
-class GatedRelativePositionBias(nn.Module):
-    """T5-bucketed relative position bias, gated per-head by the query
-    (BEATs' ``gru_rel_pos``)."""
+class RelativePositionTable(nn.Module):
+    """Shared T5-bucketed relative position bias table (BEATs keeps one
+    table on layer 0, reused by every layer)."""
 
     cfg: BeatsConfig
-    dtype: jnp.dtype
 
     @nn.compact
-    def __call__(self, q: jax.Array, seq_len: int) -> jax.Array:
+    def __call__(self, seq_len: int) -> jax.Array:
         cfg = self.cfg
         rel = np.arange(seq_len)[None, :] - np.arange(seq_len)[:, None]
         buckets = t5_relative_buckets(
@@ -68,16 +67,26 @@ class GatedRelativePositionBias(nn.Module):
             jnp.float32,
         )
         bias = table[jnp.asarray(buckets)]  # (L, L, H)
-        bias = bias.transpose(2, 0, 1)[None]  # (1, H, L, L)
+        return bias.transpose(2, 0, 1)[None]  # (1, H, L, L)
 
-        # Per-position gate from the query vector: scalar in (0, 1) scaled
-        # to (0, 2), multiplying the shared bias.
+
+class GatedBias(nn.Module):
+    """Per-layer query-conditioned gate on the shared bias (BEATs'
+    per-layer ``grep_linear`` with ``gru_rel_pos``)."""
+
+    cfg: BeatsConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, q: jax.Array, bias: jax.Array) -> jax.Array:
+        # q: (B, L, H, Dh).  BEATs computes an 8-way projection of the
+        # query, sums in pairs to (a, b) and gates with sigmoid(a)*b-style
+        # scaling; we keep the learnable scalar-gate form per head.
         gate_logits = nn.DenseGeneral(
             features=1, axis=-1, dtype=self.dtype, param_dtype=jnp.float32, name="gate"
         )(q)  # (B, L, H, 1)
         gate = 2.0 * jax.nn.sigmoid(gate_logits.astype(jnp.float32))
-        gate = gate.transpose(0, 2, 1, 3)  # (B, H, L, 1)
-        return gate * bias
+        return gate.transpose(0, 2, 1, 3) * bias
 
 
 class BeatsBlock(nn.Module):
@@ -138,14 +147,13 @@ class BeatsEncoder(nn.Module):
         x = LayerNormFp32(epsilon=cfg.layer_norm_eps, name="pre_encoder_norm")(x)
 
         seq_len = x.shape[1]
-        rel_bias = GatedRelativePositionBias(cfg, dtype, name="rel_pos_bias")
+        shared_bias = RelativePositionTable(cfg, name="rel_pos_bias")(seq_len)
 
         for i in range(cfg.depth):
-            # The bias table is shared; the gate sees the current layer's
-            # input as its query proxy.
-            bias = rel_bias(
+            # shared table, per-layer gate conditioned on the layer input
+            bias = GatedBias(cfg, dtype, name=f"gate_{i}")(
                 x.reshape(n, seq_len, cfg.num_heads, cfg.width // cfg.num_heads),
-                seq_len,
+                shared_bias,
             )
             x = BeatsBlock(cfg, dtype, name=f"block_{i}")(x, bias)
         return x

@@ -347,17 +347,18 @@ def convert_beats(sd: dict, cfg) -> dict:
     bias_key = "encoder.layers.0.self_attn.relative_attention_bias.weight"
     if bias_key in sd:
         params["rel_pos_bias"] = {"rel_attn_bias": sd[bias_key]}
-        gate_key = "encoder.layers.0.self_attn.grep_linear.weight"
+    for i in range(cfg.depth):
+        gate_key = f"encoder.layers.{i}.self_attn.grep_linear.weight"
         if gate_key in sd:
             # grep_linear maps head_dim→8 in BEATs; our gate maps
             # head_dim→1.  Collapse by averaging output rows (documented
             # approximation; exact gating needs the 8-way sum structure).
             gw = sd[gate_key]
-            params["rel_pos_bias"]["gate"] = {
+            params[f"gate_{i}"] = {"gate": {
                 "kernel": gw.T.mean(axis=-1, keepdims=True),
-                "bias": sd.get("encoder.layers.0.self_attn.grep_linear.bias",
+                "bias": sd.get(f"encoder.layers.{i}.self_attn.grep_linear.bias",
                                np.zeros(8, np.float32)).mean(keepdims=True),
-            }
+            }}
 
     for i in range(cfg.depth):
         pre = f"encoder.layers.{i}"
