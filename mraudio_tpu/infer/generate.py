@@ -59,9 +59,24 @@ def greedy_generate(
     )
     next_id = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)  # (B,)
 
-    def step(carry, t):
-        cache, cur_id, cur_pos, mask, done = carry
-        mask = mask.at[:, s + t].set(1)
+    # while_loop so the whole batch stops as soon as every row has hit
+    # EOS — real spans are ~10 tokens against a 64-token budget, so the
+    # early exit saves most decode steps (the reference's HF generate
+    # stops early the same way).
+    tokens0 = jnp.full((b, max_new_tokens), eos_id, jnp.int32)
+
+    def cond(state):
+        t, _, _, _, _, done, _ = state
+        return (t < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        t, cache, cur_id, cur_pos, mask, done, tokens = state
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, jnp.where(done, eos_id, cur_id)[:, None], (0, t)
+        )
+        mask = jax.lax.dynamic_update_slice(
+            mask, jnp.ones((b, 1), jnp.int32), (0, s + t)
+        )
         embeds = model.apply(params, method=lambda m, ids: m.embed(ids), ids=cur_id[:, None])
         attend = mask[:, None, None, :].astype(bool)
         logits, cache = model.apply(
@@ -69,11 +84,13 @@ def greedy_generate(
             cache=cache, cache_index=s + t,
         )
         nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-        emitted = jnp.where(done, eos_id, cur_id)
         done = done | (cur_id == eos_id)
         nxt = jnp.where(done, eos_id, nxt)
-        return (cache, nxt, cur_pos + 1, mask, done), emitted
+        return (t + 1, cache, nxt, cur_pos + 1, mask, done, tokens)
 
-    init = (cache, next_id, last_pos, full_mask, jnp.zeros((b,), bool))
-    _, tokens = jax.lax.scan(step, init, jnp.arange(max_new_tokens))
-    return tokens.T  # (B, max_new_tokens)
+    state = (
+        jnp.array(0), cache, next_id, last_pos, full_mask,
+        jnp.zeros((b,), bool), tokens0,
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    return state[-1]  # (B, max_new_tokens), eos-filled tail
