@@ -151,6 +151,66 @@ def convert_activitynet(
     return out
 
 
+# Prompt templates for TAL class queries (notebook cell 32).
+TAL_TEMPLATES_VIDEO = [
+    "a video of {}.",
+    "a video of a person {}.",
+    "a video of a person using {}.",
+    "a video of a person doing {}.",
+    "a video of a person during {}.",
+    "a video of a person performing {}.",
+    "a video of a person practicing {}.",
+    "a example of {}.",
+    "a example of a person {}.",
+    "a example of a person using {}.",
+    "a example of a person doing {}.",
+    "a example of a person during {}.",
+    "a example of a person performing {}.",
+    "a example of a person practicing {}.",
+    "a demonstration of {}.",
+    "a demonstration of a person {}.",
+    "a demonstration of a person using {}.",
+    "a demonstration of a person doing {}.",
+    "a demonstration of a person during {}.",
+    "a demonstration of a person performing {}.",
+    "a demonstration of a person practicing {}.",
+]
+
+
+def convert_activitynet_tal(
+    json_path: str, relative_time: bool = False, save_float: bool = False
+):
+    """ActivityNet-TAL: one record per video with ``[start, end, label]``
+    triples (notebook cell 33); returns (train, val, test, classes)."""
+    with open(json_path) as f:
+        data = json.load(f)
+    if "database" in data:
+        data = data["database"]
+
+    splits = {"training": [], "validation": [], "testing": []}
+    classes: list[str] = []
+    for video_id, sample in data.items():
+        vid = "v_" + video_id
+        duration = sample["duration"]
+        windows = []
+        for ann in sample.get("annotations", []):
+            start, end = ann["segment"]
+            label = ann["label"]
+            if label not in classes:
+                classes.append(label)
+            window, _ = _encode_window(start, end, duration, relative_time, save_float)
+            windows.append(window + [label])
+        record = {
+            "vid": vid,
+            "qid": f"ActivityNet_{vid}_0",
+            "query": "",
+            "duration": duration,
+            "relevant_windows": windows,
+        }
+        splits.setdefault(sample.get("subset", "testing"), []).append(record)
+    return splits["training"], splits["validation"], splits["testing"], classes
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="annotation preparation")
     sub = parser.add_subparsers(dest="dataset", required=True)
@@ -177,6 +237,12 @@ def main(argv=None):
     an.add_argument("--output", required=True)
     an.add_argument("--relative-time", action="store_true")
     an.add_argument("--save-float", action="store_true")
+
+    tal = sub.add_parser("activitynet_tal")
+    tal.add_argument("--input", required=True)
+    tal.add_argument("--output-dir", required=True)
+    tal.add_argument("--relative-time", action="store_true")
+    tal.add_argument("--save-float", action="store_true")
 
     args = parser.parse_args(argv)
 
@@ -212,6 +278,20 @@ def main(argv=None):
         records = convert_activitynet(args.input, args.relative_time, args.save_float)
         save_jsonl(records, args.output)
         print(f"wrote {len(records)} records")
+    elif args.dataset == "activitynet_tal":
+        import os
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        train, val, test, classes = convert_activitynet_tal(
+            args.input, args.relative_time, args.save_float
+        )
+        save_jsonl(train, os.path.join(args.output_dir, "anet_tal_train.jsonl"))
+        save_jsonl(val, os.path.join(args.output_dir, "anet_tal_val.jsonl"))
+        save_jsonl(test, os.path.join(args.output_dir, "anet_tal_test.jsonl"))
+        with open(os.path.join(args.output_dir, "classes.txt"), "w") as f:
+            for c in classes:
+                f.write(c + "\n")
+        print(f"wrote {len(train)}/{len(val)}/{len(test)} records, {len(classes)} classes")
 
 
 if __name__ == "__main__":

@@ -92,3 +92,29 @@ def test_merge_chunks(tmp_path):
     merged = merge([str(a), str(b)])
     assert [r["qid"] for r in merged] == [1, 2, 3]
     assert merged[1]["pred_relevant_windows"] == [[9, 9]]  # last occurrence wins
+
+
+def test_convert_activitynet_tal(tmp_path):
+    from mraudio_tpu.cli.prepare_data import convert_activitynet_tal
+
+    path = tmp_path / "tal.json"
+    path.write_text(json.dumps({
+        "database": {
+            "abc123": {
+                "duration": 120.0, "subset": "training",
+                "annotations": [
+                    {"segment": [5.2, 30.9], "label": "Archery"},
+                    {"segment": [60.0, 90.5], "label": "Archery"},
+                ],
+            },
+            "def456": {
+                "duration": 60.0, "subset": "validation",
+                "annotations": [{"segment": [0.0, 10.0], "label": "Drinking coffee"}],
+            },
+        }
+    }))
+    train, val, test, classes = convert_activitynet_tal(str(path))
+    assert len(train) == 1 and len(val) == 1 and len(test) == 0
+    assert train[0]["vid"] == "v_abc123"
+    assert train[0]["relevant_windows"] == [[5, 31, "Archery"], [60, 90, "Archery"]]
+    assert classes == ["Archery", "Drinking coffee"]
