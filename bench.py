@@ -67,6 +67,14 @@ def make_profile(name: str):
         data = DataConfig.for_dataset("QVH").replace(video_source="synthetic")
         return model, data, 1, 2
 
+    if name == "charades":
+        # Charades-STA shapes (20 frames) on the full-size stack.
+        model = XInstructBLIPConfig(
+            llm=LlamaConfig(quantization="int8"),
+        )
+        data = DataConfig.for_dataset("Charades_STA").replace(video_source="synthetic")
+        return model, data, 2, 2
+
     raise ValueError(f"unknown profile {name}")
 
 

@@ -379,6 +379,22 @@ class XInstructBLIP:
         mask = jnp.concatenate([pmask, prompt_mask], axis=1)
         return embeds, mask
 
+    @functools.partial(jax.jit, static_argnames=("self", "n_frms"))
+    def _generate_tokens(
+        self, params, video_u8, audio_wave, qformer_ids, qformer_mask,
+        ts_ids, ts_mask, dur_ids, dur_mask, prompt_ids, prompt_mask, n_frms,
+    ):
+        """Whole inference graph — preprocess, encoders, interleave,
+        prefill, decode — in ONE jit (one dispatch per batch)."""
+        embeds, mask = self._prefix_and_prompt(
+            params, video_u8, audio_wave, qformer_ids, qformer_mask,
+            ts_ids, ts_mask, dur_ids, dur_mask, prompt_ids, prompt_mask, n_frms,
+        )
+        return greedy_generate(
+            self.llm, {"params": params["llm"]}, embeds, mask,
+            self.cfg.max_new_tokens, self.llm_tokenizer.eos_token_id,
+        )
+
     def device_inputs(self, batch) -> tuple:
         """Start async host->device transfer of the heavy batch arrays;
         call one batch ahead to overlap the transfer with compute."""
@@ -397,7 +413,7 @@ class XInstructBLIP:
         if device_inputs is None:
             device_inputs = self.device_inputs(batch)
         video_dev, audio_dev = device_inputs
-        embeds, mask = self._prefix_and_prompt(
+        tokens = self._generate_tokens(
             params,
             video_dev,
             audio_dev,
@@ -406,10 +422,6 @@ class XInstructBLIP:
             jnp.asarray(text.dur_ids), jnp.asarray(text.dur_mask),
             jnp.asarray(text.prompt_ids), jnp.asarray(text.prompt_mask),
             n_frms=n_frms,
-        )
-        tokens = greedy_generate(
-            self.llm, {"params": params["llm"]}, embeds, mask,
-            cfg.max_new_tokens, self.llm_tokenizer.eos_token_id,
         )
         tokens = np.array(tokens)
         # id-0 → eos repair before decode (models/xinstructblip.py:393).
