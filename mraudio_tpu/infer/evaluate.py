@@ -50,6 +50,17 @@ def run_inference(
 
     params = cast_params_for_inference(params)
 
+    mesh_ctx = None
+    if cfg.mesh.num_devices > 1:
+        import jax
+
+        from mraudio_tpu.parallel import make_mesh, shard_params
+
+        mesh = make_mesh(cfg.mesh)
+        mesh_ctx = jax.set_mesh(mesh)
+        mesh_ctx.__enter__()
+        params = shard_params(params, mesh)
+
     if annotations is None:
         annotations = load_annotations(cfg.data.annotation_file)
     annotations = chunk_annotations(
@@ -114,6 +125,9 @@ def run_inference(
         "inference: %d clips in %.2fs (%.3f clips/sec); stages: %s",
         n_clips, elapsed, clips_per_sec, times.summary(),
     )
+
+    if mesh_ctx is not None:
+        mesh_ctx.__exit__(None, None, None)
 
     if output_file:
         os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)

@@ -61,6 +61,17 @@ class Trainer:
 
         if params is None:
             params = self.model.init_params(jax.random.PRNGKey(tc.seed))
+
+        # Multi-chip: place params per the partition rules (TP over
+        # "model", batch over "data"); XLA emits every collective.
+        self.mesh = None
+        if cfg.mesh.num_devices > 1:
+            from mraudio_tpu.parallel import make_mesh, shard_params
+
+            self.mesh = make_mesh(cfg.mesh)
+            self._mesh_ctx = jax.set_mesh(self.mesh)
+            self._mesh_ctx.__enter__()
+            params = shard_params(params, self.mesh)
         self.trainable, self.frozen = split_trainable(params)
         n_train = sum(x.size for x in self.trainable.values())
         n_total = sum(x.size for x in jax.tree_util.tree_leaves(params))
@@ -122,6 +133,19 @@ class Trainer:
             batch.text_input, np.asarray(batch.timestamps), batch.duration,
             text_output=batch.text_output,
         )
+        if self.mesh is not None:
+            from mraudio_tpu.parallel import batch_sharding
+
+            bsh = batch_sharding(self.mesh)
+            put = lambda a: jax.device_put(np.asarray(a), bsh)
+            return (
+                put(batch.video), put(batch.audio),
+                put(text.qformer_ids), put(text.qformer_mask),
+                put(text.ts_ids), put(text.ts_mask),
+                put(text.dur_ids), put(text.dur_mask),
+                put(text.concat_ids), put(text.concat_mask),
+                put(text.labels),
+            )
         return (
             jnp.asarray(batch.video), jnp.asarray(batch.audio),
             jnp.asarray(text.qformer_ids), jnp.asarray(text.qformer_mask),

@@ -100,3 +100,50 @@ def test_sharded_loss_matches_single_device(tmp_path):
         sharded = shard_params(params, mesh)
         loss_sharded = float(model.loss(sharded, batch))
     assert loss_single == pytest.approx(loss_sharded, rel=2e-2)
+
+
+def test_trainer_on_mesh(tmp_path):
+    """Trainer trains with TP+DP sharded params on the virtual mesh."""
+    import json
+
+    from mraudio_tpu.config import RunConfig, TrainConfig
+    from mraudio_tpu.train.trainer import Trainer
+
+    ann = str(tmp_path / "ann.jsonl")
+    with open(ann, "w") as f:
+        for i in range(4):
+            f.write(json.dumps({
+                "vid": f"v{i}", "qid": i, "query": f"act {i}",
+                "duration": 150, "relevant_windows": [[5, 25]],
+            }) + "\n")
+    cfg = RunConfig(
+        model=tiny_model_config(),
+        data=tiny_data_config(n_frms=4).replace(
+            train_annotation_file=ann, val_annotation_file=ann
+        ),
+        train=TrainConfig(max_epoch=1, batch_size=2, warmup_steps=2,
+                          accum_grad_iters=1, output_dir=str(tmp_path / "out"),
+                          val_freq=1, save_freq=0),
+        mesh=MeshConfig(data=2, model=4),
+    )
+    trainer = Trainer(cfg)
+    assert trainer.mesh is not None
+    summary = trainer.train()
+    assert "best_epoch" in summary
+
+
+def test_run_inference_on_mesh(tmp_path):
+    import json
+
+    from mraudio_tpu.config import RunConfig
+    from mraudio_tpu.infer.evaluate import run_inference
+
+    anns = [{"vid": f"v{i}", "qid": i, "query": f"q{i}", "duration": 150,
+             "relevant_windows": [[5, 25]]} for i in range(4)]
+    cfg = RunConfig(
+        model=tiny_model_config(),
+        data=tiny_data_config(n_frms=4),
+        mesh=MeshConfig(data=2, model=4),
+    )
+    result = run_inference(cfg, annotations=anns, batch_size=2)
+    assert len(result["records"]) == 4
