@@ -238,6 +238,11 @@ def main(argv=None):
     an.add_argument("--relative-time", action="store_true")
     an.add_argument("--save-float", action="store_true")
 
+    tr = sub.add_parser("transcode", help="AVI→MP4 + downscale (TACoS prep)")
+    tr.add_argument("--input-dir", required=True)
+    tr.add_argument("--output-dir", required=True)
+    tr.add_argument("--size", type=int, default=224)
+
     tal = sub.add_parser("activitynet_tal")
     tal.add_argument("--input", required=True)
     tal.add_argument("--output-dir", required=True)
@@ -278,6 +283,22 @@ def main(argv=None):
         records = convert_activitynet(args.input, args.relative_time, args.save_float)
         save_jsonl(records, args.output)
         print(f"wrote {len(records)} records")
+    elif args.dataset == "transcode":
+        import os
+
+        from mraudio_tpu.data import native_bindings as nb
+
+        lib = nb.load()
+        os.makedirs(args.output_dir, exist_ok=True)
+        count = 0
+        for name in sorted(os.listdir(args.input_dir)):
+            if not name.lower().endswith((".avi", ".mp4", ".mkv", ".mov")):
+                continue
+            dst = os.path.join(args.output_dir, os.path.splitext(name)[0] + ".mp4")
+            nb.transcode(lib, os.path.join(args.input_dir, name), dst,
+                         args.size, args.size)
+            count += 1
+        print(f"transcoded {count} videos to {args.output_dir}")
     elif args.dataset == "activitynet_tal":
         import os
 

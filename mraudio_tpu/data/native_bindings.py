@@ -63,6 +63,9 @@ def load():
             ctypes.c_char_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
         ]
+        lib.mr_transcode.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ]
         lib.mr_write_test_video.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
@@ -114,6 +117,13 @@ def decode_audio(lib, path: str, sample_rate: int, max_seconds: float = 600.0) -
     if n < 0:
         raise IOError(f"audio decode failed for {path}: {_err(lib)}")
     return out[: int(n)]
+
+
+def transcode(lib, src: str, dst: str, width: int, height: int) -> None:
+    """AVI→MP4 (or any→mp4) transcode with downscale — the notebook's
+    ffmpeg step (data_preprocess.ipynb cells 18-19) as a native call."""
+    if lib.mr_transcode(src.encode(), dst.encode(), width, height) != 0:
+        raise IOError(f"transcode failed for {src}: {_err(lib)}")
 
 
 def write_test_video(lib, path: str, frames: np.ndarray, fps: float) -> None:

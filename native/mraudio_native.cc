@@ -305,6 +305,113 @@ long long mr_decode_audio(const char* path, int sample_rate, float* out,
   return written;
 }
 
+// Transcode a video to mp4 at (w, h) — the AVI→MP4 + 224² downscale the
+// reference's notebook does with an ffmpeg binary (data_preprocess.ipynb
+// cells 18-19).  Video-only (the MR datasets' audio is demuxed separately
+// at load time).
+int mr_transcode(const char* src_path, const char* dst_path, int w, int h) {
+  VideoReader r;
+  if (!r.open(src_path)) return -1;
+  double fps = r.fps();
+  if (fps <= 0) fps = 30.0;
+
+  AVFormatContext* ofmt = nullptr;
+  avformat_alloc_output_context2(&ofmt, nullptr, nullptr, dst_path);
+  if (!ofmt) {
+    set_error("cannot alloc output context");
+    return -1;
+  }
+  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  AVStream* st = avformat_new_stream(ofmt, nullptr);
+  AVCodecContext* ocodec = avcodec_alloc_context3(enc);
+  ocodec->width = w;
+  ocodec->height = h;
+  ocodec->pix_fmt = AV_PIX_FMT_YUV420P;
+  ocodec->time_base = av_inv_q(av_d2q(fps, 100000));
+  ocodec->gop_size = 12;
+  ocodec->bit_rate = 2000000;
+  if (ofmt->oformat->flags & AVFMT_GLOBALHEADER)
+    ocodec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(ocodec, enc, nullptr) < 0) {
+    set_error("cannot open transcode encoder");
+    return -1;
+  }
+  avcodec_parameters_from_context(st->codecpar, ocodec);
+  st->time_base = ocodec->time_base;
+  if (!(ofmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&ofmt->pb, dst_path, AVIO_FLAG_WRITE) < 0) {
+    set_error("cannot open transcode output");
+    return -1;
+  }
+  if (avformat_write_header(ofmt, nullptr) < 0) {
+    set_error("cannot write transcode header");
+    return -1;
+  }
+
+  SwsContext* sws = nullptr;
+  AVFrame* in_frame = av_frame_alloc();
+  AVFrame* out_frame = av_frame_alloc();
+  out_frame->format = AV_PIX_FMT_YUV420P;
+  out_frame->width = w;
+  out_frame->height = h;
+  av_frame_get_buffer(out_frame, 0);
+  AVPacket* pkt = av_packet_alloc();
+  AVPacket* opkt = av_packet_alloc();
+  int64_t frame_no = 0;
+
+  auto write_out = [&]() {
+    while (avcodec_receive_packet(ocodec, opkt) >= 0) {
+      av_packet_rescale_ts(opkt, ocodec->time_base, st->time_base);
+      opkt->stream_index = st->index;
+      av_interleaved_write_frame(ofmt, opkt);
+      av_packet_unref(opkt);
+    }
+  };
+
+  while (av_read_frame(r.fmt, pkt) >= 0) {
+    if (pkt->stream_index == r.stream_index &&
+        avcodec_send_packet(r.codec, pkt) >= 0) {
+      while (avcodec_receive_frame(r.codec, in_frame) >= 0) {
+        if (!sws) {
+          sws = sws_getContext(in_frame->width, in_frame->height,
+                               (AVPixelFormat)in_frame->format, w, h,
+                               AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr,
+                               nullptr, nullptr);
+        }
+        av_frame_make_writable(out_frame);
+        sws_scale(sws, in_frame->data, in_frame->linesize, 0, in_frame->height,
+                  out_frame->data, out_frame->linesize);
+        out_frame->pts = frame_no++;
+        avcodec_send_frame(ocodec, out_frame);
+        write_out();
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  avcodec_send_packet(r.codec, nullptr);
+  while (avcodec_receive_frame(r.codec, in_frame) >= 0) {
+    av_frame_make_writable(out_frame);
+    sws_scale(sws, in_frame->data, in_frame->linesize, 0, in_frame->height,
+              out_frame->data, out_frame->linesize);
+    out_frame->pts = frame_no++;
+    avcodec_send_frame(ocodec, out_frame);
+    write_out();
+  }
+  avcodec_send_frame(ocodec, nullptr);
+  write_out();
+
+  av_write_trailer(ofmt);
+  if (sws) sws_freeContext(sws);
+  av_frame_free(&in_frame);
+  av_frame_free(&out_frame);
+  av_packet_free(&pkt);
+  av_packet_free(&opkt);
+  avcodec_free_context(&ocodec);
+  if (!(ofmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&ofmt->pb);
+  avformat_free_context(ofmt);
+  return frame_no > 0 ? 0 : -1;
+}
+
 // ---------------------------------------------------------------------------
 // Test-media writers (no ffmpeg binary in the image).
 // ---------------------------------------------------------------------------

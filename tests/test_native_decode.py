@@ -110,3 +110,16 @@ def test_native_video_source_integration(lib, tmp_path):
 def test_missing_file_raises(lib):
     with pytest.raises(IOError):
         nb.probe(lib, "/nonexistent/file.mp4")
+
+
+def test_transcode_avi_to_mp4(lib, tmp_path):
+    src = str(tmp_path / "clip.avi")
+    nb.write_test_video(lib, src, _make_frames(n=24, h=96, w=128), fps=12.0)
+    dst = str(tmp_path / "clip.mp4")
+    nb.transcode(lib, src, dst, 64, 64)
+    vlen, fps = nb.probe(lib, dst)
+    assert vlen == 24
+    frames = nb.decode_frames(lib, dst, np.array([0, 23]), 64, 64)
+    assert frames.shape == (2, 64, 64, 3)
+    # brightness ramp preserved through the transcode
+    assert frames[1].mean() > frames[0].mean() + 100
