@@ -30,6 +30,7 @@ def main(argv=None):
     parser.add_argument("--config", default="")
     parser.add_argument("--video-source", default="", choices=["", "native", "synthetic", "npy"])
     parser.add_argument("--model-size", default="full", choices=["full", "tiny"])
+    parser.add_argument("--resume", default="", help="checkpoint dir to resume from")
     parser.add_argument(
         "--optimizer", default="adamw", choices=["adamw", "adam"],
         help="'adamw' = the reference's intended optimizer; "
@@ -64,6 +65,7 @@ def main(argv=None):
             save_freq=args.save_freq,
             max_epoch=args.max_epoch,
             batch_size=args.batch_size,
+            resume_ckpt_path=args.resume,
         ),
         llm_weights=args.model_path,
         beats_weights=args.audio_encoder,
