@@ -3,12 +3,13 @@
 The decode loop the reference delegates to HF ``generate``
 (``models/xinstructblip.py:387-392``: greedy, ``max_new_tokens=64``)
 expressed TPU-first: prefill writes the whole multimodal prefix into a
-preallocated cache in one pass, then a ``lax.scan`` emits exactly
-``max_new_tokens`` tokens (static trip count — no data-dependent Python
-control flow, one compilation for the whole eval run).  Rows that hit
-EOS keep emitting EOS (HF pads finished rows and the reference then
-rewrites pad→eos at ``models/xinstructblip.py:393``; emitting EOS
-directly is the same observable string after decode).
+preallocated cache in one pass, then a ``lax.while_loop`` steps the
+decoder until every row has emitted EOS or the ``max_new_tokens``
+budget is reached — the static output buffer keeps shapes fixed while
+the early exit skips most of the budget on real spans (~10 tokens).
+Rows that finish keep emitting EOS (HF pads finished rows and the
+reference then rewrites pad→eos at ``models/xinstructblip.py:393``;
+emitting EOS directly is the same observable string after decode).
 """
 
 from __future__ import annotations
