@@ -446,3 +446,66 @@ def load_pretrained_params(model, cfg) -> dict:
         overlay(params["llm"], llm)
         logger.info("loaded LLM weights from %s", cfg.llm_weights)
     return params
+
+
+# ---------------------------------------------------------------------------
+# CLIP ViT (HF layout) — VideoLLaMA2-style vision towers
+# ---------------------------------------------------------------------------
+
+
+def convert_clip_vit_hf(sd: dict, cfg, prefix: str = "vision_model.") -> dict:
+    """HF ``CLIPVisionModel`` weights → :class:`EvaViT` params.
+
+    VideoLLaMA2-class models use a CLIP/SigLIP vision tower; its HF
+    layout (separate q/k/v with biases, pre-LN blocks, class embedding +
+    learned positions) maps 1:1 onto our ViT module.  The final
+    ``post_layernorm`` is intentionally dropped — like the reference's
+    EVA path, normalization happens in the consumer."""
+    g = lambda name: sd[f"{prefix}{name}"]
+    heads = cfg.num_heads
+    width = cfg.width
+    p = cfg.patch_size
+
+    conv = g("embeddings.patch_embedding.weight")  # (D, 3, p, p)
+    params = {
+        "patch_embed": {
+            "kernel": conv.transpose(2, 3, 1, 0).reshape(p * p * 3, width),
+            "bias": sd.get(f"{prefix}embeddings.patch_embedding.bias",
+                           np.zeros(width, np.float32)),
+        },
+        "cls_token": g("embeddings.class_embedding").reshape(1, 1, width),
+        "pos_embed": g("embeddings.position_embedding.weight")[None],
+    }
+    for i in range(cfg.depth):
+        pre = f"encoder.layers.{i}"
+        params[f"block_{i}"] = {
+            "norm1": {"LayerNorm_0": {
+                "scale": g(f"{pre}.layer_norm1.weight"),
+                "bias": g(f"{pre}.layer_norm1.bias"),
+            }},
+            "norm2": {"LayerNorm_0": {
+                "scale": g(f"{pre}.layer_norm2.weight"),
+                "bias": g(f"{pre}.layer_norm2.bias"),
+            }},
+            "attn": {
+                "q": {"kernel": _heads(g(f"{pre}.self_attn.q_proj.weight"), heads),
+                      "bias": _heads_bias(g(f"{pre}.self_attn.q_proj.bias"), heads)},
+                "k": {"kernel": _heads(g(f"{pre}.self_attn.k_proj.weight"), heads),
+                      "bias": _heads_bias(g(f"{pre}.self_attn.k_proj.bias"), heads)},
+                "v": {"kernel": _heads(g(f"{pre}.self_attn.v_proj.weight"), heads),
+                      "bias": _heads_bias(g(f"{pre}.self_attn.v_proj.bias"), heads)},
+                "out": {
+                    "kernel": g(f"{pre}.self_attn.out_proj.weight").T.reshape(
+                        heads, width // heads, width
+                    ),
+                    "bias": g(f"{pre}.self_attn.out_proj.bias"),
+                },
+            },
+            "mlp": {
+                "fc1": {"kernel": g(f"{pre}.mlp.fc1.weight").T,
+                        "bias": g(f"{pre}.mlp.fc1.bias")},
+                "fc2": {"kernel": g(f"{pre}.mlp.fc2.weight").T,
+                        "bias": g(f"{pre}.mlp.fc2.bias")},
+            },
+        }
+    return params

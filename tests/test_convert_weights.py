@@ -203,3 +203,76 @@ def test_int8_quantization_roundtrip():
     deq = q["layer_0"]["attn"]["q_proj"]["w_int8"].astype(np.float32) * q["layer_0"]["attn"]["q_proj"]["scale"]
     assert np.abs(deq - w).max() <= np.abs(w).max() / 127 + 1e-6
     assert (q["final_norm"]["scale"] == 1).all()
+
+
+def test_clip_vit_converter_structure_and_gqa_llama():
+    """CLIP-HF vision tower mapping + GQA (Mistral-style) Llama conversion."""
+    from mraudio_tpu.models.convert_weights import convert_clip_vit_hf
+
+    cfg = CFG.vit
+    rng = np.random.default_rng(3)
+    d, p = cfg.width, cfg.patch_size
+    sd = {
+        "vision_model.embeddings.patch_embedding.weight":
+            rng.standard_normal((d, 3, p, p)).astype(np.float32),
+        "vision_model.embeddings.class_embedding":
+            rng.standard_normal(d).astype(np.float32),
+        "vision_model.embeddings.position_embedding.weight":
+            rng.standard_normal((cfg.seq_len, d)).astype(np.float32),
+    }
+    for i in range(cfg.depth):
+        pre = f"vision_model.encoder.layers.{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            sd[f"{pre}.{ln}.weight"] = np.ones(d, np.float32)
+            sd[f"{pre}.{ln}.bias"] = np.zeros(d, np.float32)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{pre}.self_attn.{proj}.weight"] = rng.standard_normal((d, d)).astype(np.float32)
+            sd[f"{pre}.self_attn.{proj}.bias"] = rng.standard_normal(d).astype(np.float32)
+        sd[f"{pre}.mlp.fc1.weight"] = rng.standard_normal((cfg.mlp_dim, d)).astype(np.float32)
+        sd[f"{pre}.mlp.fc1.bias"] = rng.standard_normal(cfg.mlp_dim).astype(np.float32)
+        sd[f"{pre}.mlp.fc2.weight"] = rng.standard_normal((d, cfg.mlp_dim)).astype(np.float32)
+        sd[f"{pre}.mlp.fc2.bias"] = rng.standard_normal(d).astype(np.float32)
+
+    from mraudio_tpu.models.eva_vit import EvaViT
+
+    ref = EvaViT(cfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    )["params"]
+    converted = convert_clip_vit_hf(sd, cfg)
+    assert _tree_spec(converted) == _tree_spec(ref)
+
+    # GQA decoder (num_kv_heads < num_heads) through the HF converter
+    import torch
+    from transformers import LlamaForCausalLM
+
+    gqa = CFG.llm.replace(num_kv_heads=2, dtype="float32")
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(_hf_tiny_llama_config_gqa(gqa)).eval()
+    sd2 = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = {"params": convert_llama_hf(sd2, gqa)}
+    ours = LlamaModel(gqa, None)
+    b, s = 1, 5
+    rng2 = np.random.default_rng(1)
+    embeds = rng2.standard_normal((b, s, gqa.hidden_size)).astype(np.float32) * 0.02
+    mask01 = np.ones((b, s), np.int64)
+    with torch.no_grad():
+        hf_logits = hf(inputs_embeds=torch.from_numpy(embeds)).logits.numpy()
+    causal = np.tril(np.ones((s, s), bool))[None, None]
+    logits, _ = ours.apply(
+        params, jnp.asarray(embeds),
+        jnp.asarray(causal & mask01[:, None, None, :].astype(bool)),
+        jnp.asarray(np.maximum(np.cumsum(mask01, -1) - 1, 0)),
+    )
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, rtol=3e-4, atol=3e-4)
+
+
+def _hf_tiny_llama_config_gqa(cfg):
+    from transformers import LlamaConfig as HFLlamaConfig
+
+    return HFLlamaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, num_key_value_heads=cfg.num_kv_heads,
+        rms_norm_eps=cfg.rms_norm_eps, rope_theta=cfg.rope_theta,
+        attention_bias=False, tie_word_embeddings=False,
+    )
