@@ -196,6 +196,11 @@ class XInstructBLIPConfig(_ConfigBase):
     tokens_per_duration: int = 5
     prefix: str = ""
     postfix: str = ""
+    # Optional per-frame saliency head over video Q-Former tokens: enables
+    # QVHighlights highlight detection (pred_saliency_scores -> HL-Hit1 /
+    # HL-mAP).  Capability beyond the reference, whose models never emit
+    # saliency even though its scorer supports it (eval/mr_eval.py:396-406).
+    saliency_head: bool = False
     vit: ViTConfig = field(default_factory=ViTConfig)
     beats: BeatsConfig = field(default_factory=BeatsConfig)
     qformer: QFormerConfig = field(default_factory=QFormerConfig)

@@ -89,11 +89,15 @@ def run_inference(
             dev = model.device_inputs(current)
         with times.stage("generate", items=int(batch.valid.sum())):
             outputs = model.generate(params, batch, device_inputs=batch_dev)
+        saliency = None
+        if cfg.model.saliency_head:
+            with times.stage("saliency"):
+                saliency = model.saliency_scores(params, batch)
         with times.stage("parse_write"):
-            for qid, query, vid, raw_out, dur, valid in zip(
+            for row, (qid, query, vid, raw_out, dur, valid) in enumerate(zip(
                 batch.qid, batch.query, batch.vid, outputs, batch.duration,
                 batch.valid,
-            ):
+            )):
                 if not valid:
                     continue
                 windows = moment_str_to_list(post_process(raw_out))
@@ -109,15 +113,23 @@ def run_inference(
                         else w
                         for w in windows
                     ]
-                records.append(
-                    {
-                        "qid": qid,
-                        "query": query,
-                        "vid": vid,
-                        "pred_relevant_windows": windows,
-                        "raw_out": raw_out,
-                    }
-                )
+                record = {
+                    "qid": qid,
+                    "query": query,
+                    "vid": vid,
+                    "pred_relevant_windows": windows,
+                    "raw_out": raw_out,
+                }
+                if saliency is not None:
+                    # resample per-frame scores onto the QVH 2s-clip grid
+                    # (one score per clip, eval/mr_eval.py:279-288)
+                    num_clips = max(int(dur / 2), 1)
+                    clip_centers = 2.0 * np.arange(num_clips) + 1.0
+                    frame_times = np.asarray(batch.timestamps[row], np.float64)
+                    record["pred_saliency_scores"] = np.interp(
+                        clip_centers, frame_times, saliency[row]
+                    ).tolist()
+                records.append(record)
                 n_clips += 1
     elapsed = time.time() - start
     clips_per_sec = n_clips / elapsed if elapsed > 0 else 0.0

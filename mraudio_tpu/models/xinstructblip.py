@@ -59,6 +59,18 @@ class _Ln(nn.Module):
         return LayerNormFp32(epsilon=self.epsilon, name="ln")(x)
 
 
+class _SaliencyHead(nn.Module):
+    """Per-frame saliency scores from the 32 video query tokens."""
+
+    @nn.compact
+    def __call__(self, video_tokens: jax.Array) -> jax.Array:
+        """(B, T, Q, D) → (B, T) scores."""
+        pooled = video_tokens.mean(axis=2).astype(jnp.float32)
+        h = nn.Dense(256, param_dtype=jnp.float32, name="fc1")(pooled)
+        h = nn.gelu(h)
+        return nn.Dense(1, param_dtype=jnp.float32, name="fc2")(h)[..., 0]
+
+
 class _Proj(nn.Module):
     """Q-Former → LLM projection (``{modality}_llm_proj``,
     reference ``models/xinstructblip.py:706-735``)."""
@@ -132,6 +144,7 @@ class XInstructBLIP:
         self.audio_ln = _Ln()
         self.video_proj = _Proj(cfg.llm.hidden_size)
         self.audio_proj = _Proj(cfg.llm.hidden_size)
+        self.saliency_head = _SaliencyHead()
 
         # Modality cue token ids (reference pre-embeds these once,
         # models/xinstructblip.py:206-217).
@@ -179,6 +192,10 @@ class XInstructBLIP:
             )
         params["video_proj"] = self.video_proj.init(keys[8], jnp.zeros((1, h)))["params"]
         params["audio_proj"] = self.audio_proj.init(keys[9], jnp.zeros((1, h)))["params"]
+        if cfg.saliency_head:
+            params["saliency_head"] = self.saliency_head.init(
+                keys[11], jnp.zeros((1, 2, q, cfg.llm.hidden_size))
+            )["params"]
 
         d = cfg.llm.hidden_size
         dummy = jnp.zeros((1, 4, d))
@@ -378,6 +395,28 @@ class XInstructBLIP:
         embeds = jnp.concatenate([prefix, prompt_emb], axis=1)
         mask = jnp.concatenate([pmask, prompt_mask], axis=1)
         return embeds, mask
+
+    @functools.partial(jax.jit, static_argnames=("self", "n_frms"))
+    def _saliency_fn(self, params, video_u8, audio_wave, qformer_ids,
+                     qformer_mask, n_frms):
+        modal = self._encode_modality_tokens(
+            params, video_u8, audio_wave, qformer_ids, qformer_mask, n_frms
+        )
+        return self.saliency_head.apply(
+            {"params": params["saliency_head"]}, modal["video"]
+        )
+
+    def saliency_scores(self, params, batch) -> np.ndarray:
+        """(B, T) per-frame saliency (requires ``cfg.saliency_head``)."""
+        n_frms = batch.timestamps.shape[1]
+        text = self.prepare_text(
+            batch.text_input, np.asarray(batch.timestamps), batch.duration
+        )
+        return np.asarray(self._saliency_fn(
+            params, jnp.asarray(batch.video), jnp.asarray(batch.audio),
+            jnp.asarray(text.qformer_ids), jnp.asarray(text.qformer_mask),
+            n_frms=n_frms,
+        ))
 
     @functools.partial(jax.jit, static_argnames=("self", "n_frms"))
     def _generate_tokens(

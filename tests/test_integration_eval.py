@@ -85,3 +85,37 @@ def test_fetch_utils(tmp_path):
     assert cached_path(str(p)) == str(p)
     with pytest.raises(FileNotFoundError):
         cached_path(str(tmp_path / "missing.pth"))
+
+
+def test_saliency_head_lights_up_hl_metrics(tmp_path):
+    """With the saliency head enabled, the driver emits
+    pred_saliency_scores on the QVH 2s-clip grid and the scorer produces
+    the HL-Hit1/HL-mAP section."""
+    rng = np.random.default_rng(0)
+    cfg = RunConfig(
+        model=tiny_model_config().replace(saliency_head=True),
+        data=tiny_data_config(n_frms=4),
+    )
+    model = XInstructBLIP(cfg.model, audio_cfg=cfg.data.audio)
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert "saliency_head" in params
+
+    anns = []
+    for i in range(4):
+        n_clips = 150 // 2
+        rel = sorted(rng.choice(n_clips, size=5, replace=False).tolist())
+        anns.append({
+            "vid": f"v{i}", "qid": i, "query": f"act {i}", "duration": 150,
+            "relevant_windows": [[10, 30]],
+            "relevant_clip_ids": rel,
+            "saliency_scores": rng.integers(0, 5, size=(5, 3)).tolist(),
+        })
+
+    result = run_inference(cfg, model=model, params=params, annotations=anns,
+                           batch_size=2)
+    for record in result["records"]:
+        assert len(record["pred_saliency_scores"]) == 75
+
+    metrics = eval_submission(result["records"], anns, verbose=False)
+    assert "HL-min-VeryGood-mAP" in metrics["brief"]
+    assert "HL-min-Fair-Hit1" in metrics["brief"]
