@@ -54,6 +54,7 @@ class Trainer:
         train_dataset: Optional[MRDataset] = None,
         val_dataset: Optional[MRDataset] = None,
         optimizer: str = "adamw",
+        frozen_bf16: bool = True,
     ):
         self.cfg = cfg
         tc = cfg.train
@@ -73,6 +74,19 @@ class Trainer:
             self._mesh_ctx.__enter__()
             params = shard_params(params, self.mesh)
         self.trainable, self.frozen = split_trainable(params)
+        if frozen_bf16:
+            # Frozen base weights are read every step; bf16 halves the HBM
+            # traffic and the matmuls consume bf16 regardless (the LoRA
+            # master copies stay fp32) — the TPU shape of the reference's
+            # fp16-base + fp32-adapter setup.
+            from flax import traverse_util
+
+            from mraudio_tpu.models.casting import cast_params_for_inference
+
+            frozen_tree = traverse_util.unflatten_dict(self.frozen)
+            self.frozen = traverse_util.flatten_dict(
+                cast_params_for_inference(frozen_tree)
+            )
         n_train = sum(x.size for x in self.trainable.values())
         n_total = sum(x.size for x in jax.tree_util.tree_leaves(params))
         logger.info("trainable params: %d / %d", n_train, n_total)

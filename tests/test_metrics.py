@@ -211,3 +211,33 @@ def test_eval_submission_match_number_false(rng):
     submission, ground_truth = _make_submission(rng, 10)
     res = eval_submission(submission[:5], ground_truth, verbose=False, match_number=False)
     assert "MR-full-R1-avg" in res["brief"]
+
+
+def test_ap_qid_without_gt_matches_reference(reference):
+    """A qid with predictions but no GT entry: the reference's defaultdict
+    yields an empty GT list → AP 0 for that qid; parity required."""
+    submission = [
+        {"qid": 1, "pred_relevant_windows": [[0, 10]]},
+        {"qid": 2, "pred_relevant_windows": [[5, 20]]},
+    ]
+    ground_truth = [
+        {"qid": 1, "relevant_windows": [[0, 10]]},
+        {"qid": 2, "relevant_windows": [[5, 20]]},
+    ]
+    # drop qid 2's GT windows only from the AP path via max_gt_windows=0
+    ours = compute_mr_ap(submission, ground_truth, max_gt_windows=0)
+    theirs = reference.mr_eval.compute_mr_ap(
+        submission, ground_truth, max_gt_windows=0, num_workers=1
+    )
+    assert set(ours) == set(theirs)
+    for k in ours:
+        # empty GT drives recall through 0/0 → nan in BOTH implementations
+        assert (np.isnan(ours[k]) and np.isnan(theirs[k])) or ours[k] == theirs[k]
+
+
+def test_r1_single_gt_window_tie(reference):
+    submission = [{"qid": 0, "pred_relevant_windows": [[10, 20]]}]
+    ground_truth = [{"qid": 0, "relevant_windows": [[10, 20], [10, 20]]}]
+    ours = compute_mr_r1(submission, ground_truth)
+    theirs = reference.mr_eval.compute_mr_r1(submission, ground_truth)
+    assert ours[0] == theirs[0] and ours[3] == theirs[3]
