@@ -89,8 +89,14 @@ def chunked_attention(
         jnp.full((b, h, s, 1), NEG_INF, jnp.float32),
         jnp.zeros((b, h, s, 1), jnp.float32),
     )
+    # Remat each chunk: without this the scan's backward saves every
+    # chunk's (B,H,S,block_k) probability tile across every layer — at
+    # QVH scale that is hundreds of GB.  Recomputing a chunk forward is
+    # one small matmul.
     (acc, _, l_i), _ = jax.lax.scan(
-        step, init, (jnp.arange(num_chunks), k_chunks, v_chunks, mask_chunks)
+        jax.checkpoint(step, prevent_cse=False),
+        init,
+        (jnp.arange(num_chunks), k_chunks, v_chunks, mask_chunks),
     )
     safe_l = jnp.where(l_i == 0, 1.0, l_i)
     return (acc / safe_l).astype(q.dtype)
