@@ -493,20 +493,49 @@ class XInstructBLIP:
         causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
         attend = causal & mask[:, None, None, :].astype(bool)
         positions = positions_from_mask(mask)
-        logits, _ = self.llm.apply(
+        hidden, _ = self.llm.apply(
             {"params": params["llm"]}, embeds, attend, positions,
-            kv_valid=mask, causal=True,
+            kv_valid=mask, causal=True, return_hidden=True,
         )
 
-        # Shifted CE with -100 ignore, mean over valid targets (HF semantics).
-        shift_logits = logits[:, :-1]
-        shift_labels = full_labels[:, 1:]
-        valid = shift_labels != -100
-        safe_labels = jnp.where(valid, shift_labels, 0)
-        logprobs = jax.nn.log_softmax(shift_logits, axis=-1)
-        token_ll = jnp.take_along_axis(logprobs, safe_labels[..., None], axis=-1)[..., 0]
-        loss = -(token_ll * valid).sum() / jnp.maximum(valid.sum(), 1)
+        # Shifted CE with -100 ignore, mean over valid targets (HF
+        # semantics), computed in sequence chunks: materializing the full
+        # (B, S, 32001) fp32 logits (+ a log_softmax copy) costs GBs at
+        # QVH scale; per-chunk lm_head + remat keeps it to ~100 MB.
+        loss = self._chunked_ce(params, hidden[:, :-1], full_labels[:, 1:])
         return loss
+
+    def _chunked_ce(self, params, hidden, labels, chunk: int = 512):
+        b, s, d = hidden.shape
+        pad = (-s) % chunk
+        if pad:
+            hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+            labels = jnp.pad(labels, ((0, 0), (0, pad)), constant_values=-100)
+            s += pad
+        n_chunks = s // chunk
+        hidden_c = hidden.reshape(b, n_chunks, chunk, d).transpose(1, 0, 2, 3)
+        labels_c = labels.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
+
+        def step(carry, inputs):
+            ll_sum, count = carry
+            h_blk, l_blk = inputs
+            logits = self.llm.apply(
+                {"params": params["llm"]},
+                method=lambda m, x: m.lm_head(x).astype(jnp.float32),
+                x=h_blk,
+            )
+            valid = l_blk != -100
+            safe = jnp.where(valid, l_blk, 0)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            tok = jnp.take_along_axis(lp, safe[..., None], axis=-1)[..., 0]
+            return (ll_sum + (tok * valid).sum(), count + valid.sum()), None
+
+        (ll_sum, count), _ = jax.lax.scan(
+            jax.checkpoint(step, prevent_cse=False),
+            (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+            (hidden_c, labels_c),
+        )
+        return -ll_sum / jnp.maximum(count, 1)
 
     def loss(self, params, batch) -> jax.Array:
         """Training forward → scalar CE loss
