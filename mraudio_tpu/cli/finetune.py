@@ -78,6 +78,7 @@ def main(argv=None):
     model = XInstructBLIP(cfg.model, audio_cfg=cfg.data.audio)
     params = load_pretrained_params(model, cfg)
     trainer = Trainer(cfg, model=model, params=params, optimizer=args.optimizer)
+    del params  # the trainer holds the (bf16-cast) copies; free the originals
     summary = trainer.train()
     print(f"best epoch {summary['best_epoch']}: MR-full-R1-avg {summary['best_metric']}")
 
