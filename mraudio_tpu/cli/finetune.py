@@ -50,6 +50,12 @@ def main(argv=None):
         cfg = RunConfig(model=tiny_model_config(), data=tiny_data_config())
     else:
         cfg = RunConfig(data=DataConfig.for_dataset(args.dataset))
+        # full-size training needs rematerialization (measured: backward
+        # without it wants >250GB HBM at QVH shapes; see docs/BENCHMARKS.md)
+        cfg = cfg.replace(model=cfg.model.replace(
+            vit=cfg.model.vit.replace(grad_checkpoint=True),
+            llm=cfg.model.llm.replace(grad_checkpoint=True),
+        ))
 
     cfg = cfg.replace(
         model_name=args.model,
