@@ -130,3 +130,56 @@ def test_prepare_text_shapes(model_and_params):
     assert valid.sum() > 0
     last_valid = np.where(valid)[0][-1]
     assert tb2.concat_ids[0, last_valid] == model.llm_tokenizer.eos_token_id
+
+
+def test_interleave_layout_matches_reference_order(model_and_params):
+    """The prefix must be, per frame: [\" video: \" cue][Q video tokens]
+    [\" audio: \" cue][Q audio tokens][timestamp slots], then duration —
+    the reference's interleave order (models/xinstructblip.py:342-385)."""
+    import jax.numpy as jnp
+
+    model, params = model_and_params
+    cfg = model.cfg
+    b, t = 1, 3
+    ts = np.array([[0, 2, 4]])
+    text = model.prepare_text(["query x"], ts, [30])
+
+    rng = np.random.default_rng(0)
+    video = rng.integers(0, 256, (b, t, 28, 28, 3), dtype=np.uint8)
+    hop, win = model.audio_cfg.hop_length, model.audio_cfg.win_length
+    ns = hop * (t * model.audio_cfg.mel_frames_per_chunk - 1) + win
+    audio = rng.uniform(-1, 1, (b, ns)).astype(np.float32)
+
+    embeds, mask = model._prefix_and_prompt(
+        params, jnp.asarray(video), jnp.asarray(audio),
+        jnp.asarray(text.qformer_ids), jnp.asarray(text.qformer_mask),
+        jnp.asarray(text.ts_ids), jnp.asarray(text.ts_mask),
+        jnp.asarray(text.dur_ids), jnp.asarray(text.dur_mask),
+        jnp.asarray(text.prompt_ids), jnp.asarray(text.prompt_mask),
+        n_frms=t,
+    )
+    q = cfg.qformer.num_query_tokens
+    lc_v = len(model.cue_ids["video"])
+    lc_a = len(model.cue_ids["audio"])
+    frame_block = lc_v + q + lc_a + q + cfg.tokens_per_timestamp
+    expected = t * frame_block + cfg.tokens_per_duration + cfg.max_txt_len
+    assert embeds.shape[1] == expected
+
+    # the video cue embedding of frame 0 sits at offset 0 and equals the
+    # raw embedding lookup of the cue ids; audio cue follows the video
+    # tokens; frame 1's block starts exactly one frame_block later
+    cue_v = np.asarray(model._embed_ids(params, jnp.asarray(model.cue_ids["video"])[None]))[0]
+    cue_a = np.asarray(model._embed_ids(params, jnp.asarray(model.cue_ids["audio"])[None]))[0]
+    emb = np.asarray(embeds, np.float32)
+    np.testing.assert_allclose(emb[0, :lc_v], cue_v.astype(np.float32), rtol=1e-2, atol=1e-2)
+    a_off = lc_v + q
+    np.testing.assert_allclose(emb[0, a_off:a_off + lc_a], cue_a.astype(np.float32), rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(
+        emb[0, frame_block:frame_block + lc_v], cue_v.astype(np.float32), rtol=1e-2, atol=1e-2
+    )
+    # timestamp slots carry their per-frame mask
+    ts_off = lc_v + q + lc_a + q
+    np.testing.assert_array_equal(
+        np.asarray(mask)[0, ts_off:ts_off + cfg.tokens_per_timestamp],
+        text.ts_mask[0, 0],
+    )
