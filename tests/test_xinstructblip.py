@@ -183,3 +183,28 @@ def test_interleave_layout_matches_reference_order(model_and_params):
         np.asarray(mask)[0, ts_off:ts_off + cfg.tokens_per_timestamp],
         text.ts_mask[0, 0],
     )
+
+
+def test_chunked_ce_equals_dense(model_and_params):
+    """The chunked CE must equal the dense shifted-CE computation."""
+    model, params = model_and_params
+    rng = np.random.default_rng(0)
+    b, s, d = 2, 37, model.cfg.llm.hidden_size  # non-multiple of the chunk
+    hidden = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    labels = rng.integers(0, model.cfg.llm.vocab_size, (b, s)).astype(np.int32)
+    labels[0, :10] = -100
+    labels[1, 20:] = -100
+    labels_j = jnp.asarray(labels)
+
+    chunked = float(model._chunked_ce(params, hidden, labels_j, chunk=16))
+
+    logits = model.llm.apply(
+        {"params": params["llm"]},
+        method=lambda m, x: m.lm_head(x).astype(jnp.float32), x=hidden,
+    )
+    valid = labels_j != -100
+    safe = jnp.where(valid, labels_j, 0)
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    tok = jnp.take_along_axis(lp, safe[..., None], axis=-1)[..., 0]
+    dense = float(-(tok * valid).sum() / jnp.maximum(valid.sum(), 1))
+    assert chunked == pytest.approx(dense, rel=1e-5)
