@@ -142,6 +142,11 @@ class LlamaConfig(_ConfigBase):
     # "int8" quantizes base weights (the TPU counterpart of load_in_8bit);
     # "none" keeps them in `dtype`.
     quantization: str = "none"
+    # With quantization="int8": also quantize activations dynamically and
+    # run a true int8 x int8 -> int32 MXU dot (W8A8, no outlier
+    # decomposition).  Off by default — weight-only int8 keeps reference
+    # (bitsandbytes) accuracy semantics; measurements in docs/BENCHMARKS.md.
+    int8_dot: bool = False
     # rematerialize decoder blocks under grad (reference
     # gradient_checkpointing_enable, models/xinstructblip.py:157)
     grad_checkpoint: bool = False

@@ -89,7 +89,10 @@ class MRDataset:
         self.audio_source = audio_source or make_audio_source(
             "synthetic" if cfg.video_source == "synthetic" else "native"
         )
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        # bumped by BatchLoader.set_epoch so train-time random frame
+        # sampling differs across epochs yet stays reproducible
+        self.epoch = 0
 
     def __len__(self) -> int:
         return len(self.annotation)
@@ -157,8 +160,12 @@ class MRDataset:
         if start is not None and end is not None:
             vlen = max(int((end - start) * fps), 1)
 
+        # Per-sample generator: deterministic given (seed, epoch, index)
+        # and safe under BatchLoader's thread pool (a shared Generator's
+        # state is not thread-safe).
+        rng = np.random.default_rng((self._seed, self.epoch, index))
         indices = sample_frame_indices(
-            vlen, self.cfg.n_frms, self.sampling, rng=self._rng
+            vlen, self.cfg.n_frms, self.sampling, rng=rng
         )
         frames = self.video_source.get_batch(
             path, indices, self.cfg.image_size, self.cfg.image_size, start, end
@@ -232,6 +239,7 @@ class BatchLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        self.dataset.epoch = epoch
 
     def _order(self) -> np.ndarray:
         order = np.arange(len(self.dataset))

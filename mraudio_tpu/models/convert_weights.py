@@ -272,14 +272,16 @@ def convert_llama_hf(sd: dict, cfg) -> dict:
 def quantize_llama_int8(params: dict) -> dict:
     """Float param tree → int8 per-output-channel weights + scales (the
     TPU counterpart of ``load_in_8bit``).  LoRA/norm/embedding params
-    pass through."""
+    pass through; ``lm_head`` stays float, matching HF's
+    ``get_keys_to_not_convert`` under ``load_in_8bit`` (reference
+    ``models/xinstructblip.py:151``)."""
     import jax
 
     def visit(path, leaf):
         names = [str(getattr(p, "key", p)) for p in path]
-        if names[-1] == "kernel" and any(
-            n.endswith("_proj") or n == "lm_head" for n in names
-        ):
+        if "lm_head" in names:
+            return leaf
+        if names[-1] == "kernel" and any(n.endswith("_proj") for n in names):
             scale = np.abs(leaf).max(axis=0) / 127.0
             scale = np.where(scale == 0, 1.0, scale)
             return {"w_int8": np.round(leaf / scale).astype(np.int8),

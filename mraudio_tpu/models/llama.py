@@ -48,19 +48,26 @@ def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
 
 
 class LlamaLinear(nn.Module):
-    """Projection with optional int8 base weights and LoRA adapter."""
+    """Projection with optional int8 base weights and LoRA adapter.
+
+    ``quantize_ok=False`` keeps the projection in float even when the
+    config asks for int8 — used for ``lm_head``, matching the reference's
+    ``load_in_8bit`` path where HF ``get_keys_to_not_convert`` leaves the
+    lm_head unquantized in fp16 with an fp32 output cast
+    (``models/xinstructblip.py:151,159``)."""
 
     features: int
     cfg: LlamaConfig
     lora: Optional[LoraConfig] = None
     lora_target: bool = False
+    quantize_ok: bool = True
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         dtype = jnp.dtype(self.cfg.dtype)
         in_features = x.shape[-1]
 
-        if self.cfg.quantization == "int8":
+        if self.cfg.quantization == "int8" and self.quantize_ok:
             w_q = self.param(
                 "w_int8",
                 nn.initializers.zeros_init(),
@@ -73,16 +80,36 @@ class LlamaLinear(nn.Module):
                 (self.features,),
                 jnp.float32,
             )
-            # Int8 matmul with fp32 accumulation, then per-channel rescale:
-            # keeps the MXU in its int8 fast path instead of dequantizing
-            # weights to bf16 first.
-            acc = jax.lax.dot_general(
-                x.astype(jnp.int8) if x.dtype == jnp.int8 else x.astype(dtype),
-                w_q.astype(dtype),
-                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            y = (acc * scale).astype(dtype)
+            if self.cfg.int8_dot:
+                # True MXU int8 path: dynamically quantize activations
+                # per row (absmax), int8 x int8 -> int32 accumulate, then
+                # rescale by act_scale * per-channel weight scale.  Naive
+                # W8A8 (no outlier decomposition) — opt-in; measured
+                # accuracy/speed trade-off recorded in docs/BENCHMARKS.md.
+                xf = x.astype(jnp.float32)
+                x_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+                x_scale = jnp.where(x_scale == 0, 1.0, x_scale)
+                x_q = jnp.round(xf / x_scale).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    x_q,
+                    w_q,
+                    dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = (acc.astype(jnp.float32) * (x_scale * scale)).astype(dtype)
+            else:
+                # Weight-only int8: the HBM/storage win of load_in_8bit
+                # (weights stream at 1 byte/param) with the matmul itself
+                # running in bf16 after an on-the-fly dequant — XLA fuses
+                # the dequant into the matmul's weight read, so decode
+                # stays HBM-bound at the int8 byte rate.
+                acc = jax.lax.dot_general(
+                    x.astype(dtype),
+                    w_q.astype(dtype),
+                    dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                y = (acc * scale).astype(dtype)
         else:
             kernel = self.param(
                 "kernel",
@@ -267,7 +294,11 @@ class LlamaModel(nn.Module):
             for i in range(self.cfg.num_layers)
         ]
         self.final_norm = RMSNorm(epsilon=self.cfg.rms_norm_eps, name="final_norm")
-        self.lm_head = LlamaLinear(self.cfg.vocab_size, self.cfg, name="lm_head")
+        # Never quantized: mirrors HF get_keys_to_not_convert under
+        # load_in_8bit (reference models/xinstructblip.py:151).
+        self.lm_head = LlamaLinear(
+            self.cfg.vocab_size, self.cfg, name="lm_head", quantize_ok=False
+        )
 
     def embed(self, input_ids: jax.Array) -> jax.Array:
         return self.embed_tokens(input_ids).astype(jnp.dtype(self.cfg.dtype))

@@ -92,6 +92,15 @@ def build_optimizer(
 ) -> optax.GradientTransformation:
     schedule = lavis_warmup_cosine_schedule(cfg, steps_per_epoch)
     b1, b2 = cfg.betas
+    k = cfg.accum_grad_iters
+
+    # Under MultiSteps(k) the inner transforms advance once per k
+    # micro-batches, but the reference steps its scheduler every data
+    # iteration and applies the optimizer at micro-iters k-1, 2k-1, ...
+    # (0-indexed, ``utils/trainer.py:127,137-140``).  Map the inner update
+    # count n back to the micro-step the reference would be at, n*k + k-1,
+    # so warmup/cosine run at reference speed instead of k× slower.
+    inner_schedule = schedule if k <= 1 else (lambda count: schedule(count * k + k - 1))
 
     if optimizer == "adamw":
         tx = optax.chain(
@@ -99,17 +108,17 @@ def build_optimizer(
             optax.add_decayed_weights(
                 cfg.weight_decay, mask=_decay_mask(trainable_flat)
             ),
-            optax.scale_by_learning_rate(schedule),
+            optax.scale_by_learning_rate(inner_schedule),
         )
     elif optimizer == "adam":
         # the reference's live (buggy) optimizer: plain Adam, no decay
         tx = optax.chain(
             optax.scale_by_adam(b1=b1, b2=b2),
-            optax.scale_by_learning_rate(schedule),
+            optax.scale_by_learning_rate(inner_schedule),
         )
     else:
         raise ValueError(f"unknown optimizer {optimizer!r}")
 
-    if cfg.accum_grad_iters > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_grad_iters)
+    if k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=k)
     return tx

@@ -115,7 +115,7 @@ class Trainer:
         self.schedule = lavis_warmup_cosine_schedule(tc, self.steps_per_epoch)
         self.start_epoch = 0
         self.global_step = 0
-        self._step_fn = None
+        self._step_fns: dict[int, callable] = {}  # keyed on n_frms
 
         from mraudio_tpu.utils.runlog import RunLogger
 
@@ -211,10 +211,15 @@ class Trainer:
         )
 
         for batch in self.train_loader:
-            if self._step_fn is None:
-                self._step_fn = self._build_step(batch.timestamps.shape[1])
+            # jit cache keyed on n_frms: mixed-length curricula or
+            # train/val n_frms mismatches each get their own compile
+            # instead of silently reusing the first batch's step.
+            n_frms = int(batch.timestamps.shape[1])
+            step_fn = self._step_fns.get(n_frms)
+            if step_fn is None:
+                step_fn = self._step_fns[n_frms] = self._build_step(n_frms)
             arrays = self._arrays_for_loss(batch)
-            loss, self.trainable, self.opt_state = self._step_fn(
+            loss, self.trainable, self.opt_state = step_fn(
                 self.trainable, self.frozen, self.opt_state, arrays
             )
             self.global_step += 1

@@ -1,0 +1,170 @@
+"""Regression tests for round-2 fixes (VERDICT/ADVICE items).
+
+* lm_head is never int8-quantized (HF get_keys_to_not_convert parity,
+  reference models/xinstructblip.py:151).
+* int8_dot runs a true int8 x int8 -> int32 dot and stays numerically
+  close to the float path.
+* LR schedule advances at reference (micro-step) speed under gradient
+  accumulation (reference utils/trainer.py:127,137-140).
+* Train-step jit cache is keyed on n_frms.
+* Dataset frame sampling is per-sample deterministic and thread-safe.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mraudio_tpu.config import TrainConfig, tiny_data_config, tiny_model_config
+from mraudio_tpu.models.convert_weights import quantize_llama_int8
+from mraudio_tpu.models.layers import positions_from_mask
+from mraudio_tpu.models.llama import LlamaModel
+from mraudio_tpu.train.optim import build_optimizer, lavis_warmup_cosine_schedule
+
+
+def _tiny_llama_setup(**cfg_overrides):
+    cfg = tiny_model_config().llm.replace(dtype="float32", **cfg_overrides)
+    model = LlamaModel(cfg, None)
+    b, s = 1, 6
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, s, cfg.hidden_size)) * 0.1
+    mask01 = jnp.ones((b, s), jnp.int32)
+    attend = (
+        jnp.tril(jnp.ones((s, s), bool))[None, None]
+        & mask01[:, None, None, :].astype(bool)
+    )
+    pos = positions_from_mask(mask01)
+    return cfg, model, x, attend, pos
+
+
+def test_lm_head_not_quantized():
+    """quantize_llama_int8 leaves lm_head as a float kernel, and the int8
+    model consumes that tree directly."""
+    cfg, model_f, x, attend, pos = _tiny_llama_setup()
+    params = model_f.init(jax.random.PRNGKey(1), x, attend, pos)["params"]
+    q = quantize_llama_int8(jax.tree_util.tree_map(np.asarray, params))
+    assert "kernel" in q["lm_head"] and "w_int8" not in q["lm_head"]
+    assert q["lm_head"]["kernel"].dtype != np.int8
+    # every *_proj did get quantized
+    assert q["layer_0"]["attn"]["q_proj"]["w_int8"].dtype == np.int8
+
+    model_q = LlamaModel(cfg.replace(quantization="int8"), None)
+    logits_q, _ = model_q.apply({"params": q}, x, attend, pos)
+    logits_f, _ = model_f.apply({"params": params}, x, attend, pos)
+    f, qq = np.asarray(logits_f), np.asarray(logits_q)
+    assert np.abs(f - qq).max() / np.abs(f).max() < 0.1
+
+
+def test_int8_dot_close_to_float():
+    """W8A8 (int8_dot=True): int32-accumulated MXU dot, logits close to
+    the float model on smooth activations."""
+    cfg, model_f, x, attend, pos = _tiny_llama_setup()
+    params = model_f.init(jax.random.PRNGKey(1), x, attend, pos)["params"]
+    logits_f, _ = model_f.apply({"params": params}, x, attend, pos)
+
+    q = quantize_llama_int8(jax.tree_util.tree_map(np.asarray, params))
+    model_q = LlamaModel(cfg.replace(quantization="int8", int8_dot=True), None)
+    logits_q, _ = model_q.apply({"params": q}, x, attend, pos)
+
+    f, qq = np.asarray(logits_f), np.asarray(logits_q)
+    assert np.isfinite(qq).all()
+    assert np.abs(f - qq).max() / np.abs(f).max() < 0.15
+
+
+def test_schedule_advances_per_microstep_under_accum():
+    """With accum_grad_iters=k the first optimizer update must apply
+    schedule(k-1) — the LR the reference's per-iteration scheduler has
+    set by the micro-step where it steps the optimizer — not schedule(0)
+    evaluated k× slower."""
+    tc = TrainConfig(accum_grad_iters=2, warmup_steps=10, lr=1.0,
+                     warmup_start_lr=0.0, max_epoch=10)
+    steps_per_epoch = 100
+    schedule = lavis_warmup_cosine_schedule(tc, steps_per_epoch)
+    params = {"w": jnp.zeros(3)}
+    tx = build_optimizer(tc, params, steps_per_epoch)
+    state = tx.init(params)
+    grads = {"w": jnp.ones(3)}
+
+    p = params
+    deltas = []
+    for _ in range(4):  # 4 micro-steps = 2 real updates
+        updates, state = tx.update(grads, state, p)
+        prev = p
+        p = optax.apply_updates(p, updates)
+        deltas.append(float((prev["w"] - p["w"])[0]))
+
+    # adam with constant grads: update magnitude == lr (g/sqrt(g^2)=1)
+    assert deltas[0] == 0.0  # accumulating, no update yet
+    np.testing.assert_allclose(deltas[1], float(schedule(1)), rtol=1e-4)
+    assert deltas[2] == 0.0
+    np.testing.assert_allclose(deltas[3], float(schedule(3)), rtol=1e-4)
+
+
+def test_trainer_mixed_n_frms(tmp_path):
+    """Two loaders with different n_frms must not silently reuse the
+    first compile (jit cache keyed on n_frms)."""
+    from mraudio_tpu.config import RunConfig
+    from mraudio_tpu.data.dataset import BatchLoader, MRDataset
+    from mraudio_tpu.train.trainer import Trainer
+
+    def write_ann(path, n):
+        with open(path, "w") as f:
+            for i in range(n):
+                f.write(json.dumps({
+                    "vid": f"v{i}", "qid": i, "query": "a person waves",
+                    "duration": 100, "relevant_windows": [[10, 30]],
+                }) + "\n")
+
+    ann = str(tmp_path / "ann.jsonl")
+    write_ann(ann, 2)
+    cfg = RunConfig(
+        model=tiny_model_config(),
+        data=tiny_data_config(n_frms=4).replace(
+            train_annotation_file=ann, val_annotation_file=ann
+        ),
+        train=TrainConfig(batch_size=2, max_epoch=1, accum_grad_iters=1,
+                          output_dir=str(tmp_path / "out")),
+    )
+    trainer = Trainer(cfg)
+    trainer.train_epoch(0)
+    assert set(trainer._step_fns) == {4}
+
+    # second loader at n_frms=2 over the same trainer
+    ds2 = MRDataset(tiny_data_config(n_frms=2), annotation_path=ann, split="train")
+    trainer.train_loader = BatchLoader(ds2, 2, shuffle=True, drop_last=True)
+    trainer.train_epoch(0)
+    assert set(trainer._step_fns) == {4, 2}
+
+
+def test_dataset_rng_thread_safe_and_deterministic(tmp_path):
+    """Per-sample generators: results independent of iteration order /
+    thread interleaving, distinct across epochs."""
+    from mraudio_tpu.data.dataset import BatchLoader, MRDataset
+
+    ann = str(tmp_path / "ann.jsonl")
+    with open(ann, "w") as f:
+        for i in range(8):
+            f.write(json.dumps({
+                "vid": f"v{i}", "qid": i, "query": "q", "duration": 100,
+                "relevant_windows": [[0, 10]],
+            }) + "\n")
+    cfg = tiny_data_config(n_frms=4)
+
+    def stamps_for_epoch(epoch, num_threads):
+        ds = MRDataset(cfg, annotation_path=ann, split="train")
+        loader = BatchLoader(ds, 2, shuffle=False, num_threads=num_threads)
+        loader.set_epoch(epoch)
+        out = {}
+        for b in loader:
+            for qid, ts in zip(b.qid, b.timestamps):
+                out[qid] = tuple(ts.tolist())
+        return out
+
+    a = stamps_for_epoch(0, num_threads=1)
+    b = stamps_for_epoch(0, num_threads=4)
+    assert a == b  # thread count cannot change sampling
+    c = stamps_for_epoch(1, num_threads=1)
+    assert a != c  # epochs resample
