@@ -62,11 +62,17 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     cfg = build_config(args)
 
-    from mraudio_tpu.infer.evaluate import run_inference
-    from mraudio_tpu.models.xinstructblip import XInstructBLIP
-    from mraudio_tpu.models.convert_weights import load_pretrained_params
+    cfg = cfg.replace(
+        llm_weights=args.model_path or cfg.llm_weights,
+        beats_weights=args.audio_encoder or cfg.beats_weights,
+    )
 
-    model = XInstructBLIP(cfg.model, audio_cfg=cfg.data.audio)
+    from mraudio_tpu.infer.evaluate import run_inference
+    from mraudio_tpu.models.convert_weights import load_pretrained_params
+    from mraudio_tpu.models.factory import build_model
+
+    # --model dispatch, like the reference's evaluate.py:27-31
+    model = build_model(cfg)
     params = load_pretrained_params(model, cfg)
     result = run_inference(
         cfg, model=model, params=params,

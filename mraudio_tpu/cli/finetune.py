@@ -78,10 +78,11 @@ def main(argv=None):
     )
 
     from mraudio_tpu.models.convert_weights import load_pretrained_params
-    from mraudio_tpu.models.xinstructblip import XInstructBLIP
+    from mraudio_tpu.models.factory import build_model
     from mraudio_tpu.train.trainer import Trainer
 
-    model = XInstructBLIP(cfg.model, audio_cfg=cfg.data.audio)
+    # --model dispatch, like the reference's utils/trainer.py:50-56
+    model = build_model(cfg)
     params = load_pretrained_params(model, cfg)
     trainer = Trainer(cfg, model=model, params=params, optimizer=args.optimizer)
     del params  # the trainer holds the (bf16-cast) copies; free the originals

@@ -25,7 +25,6 @@ import numpy as np
 from mraudio_tpu.config import RunConfig
 from mraudio_tpu.data.annotations import chunk_annotations, load_annotations
 from mraudio_tpu.data.dataset import BatchLoader, MRDataset
-from mraudio_tpu.models.xinstructblip import XInstructBLIP
 from mraudio_tpu.text.postprocess import moment_str_to_list, post_process
 
 logger = logging.getLogger("mraudio_tpu")
@@ -41,7 +40,9 @@ def run_inference(
 ) -> dict:
     """Returns {'records': [...], 'clips_per_sec': float}."""
     if model is None:
-        model = XInstructBLIP(cfg.model, audio_cfg=cfg.data.audio)
+        from mraudio_tpu.models.factory import build_model
+
+        model = build_model(cfg)
     if params is None:
         import jax
 
@@ -90,7 +91,7 @@ def run_inference(
         with times.stage("generate", items=int(batch.valid.sum())):
             outputs = model.generate(params, batch, device_inputs=batch_dev)
         saliency = None
-        if cfg.model.saliency_head:
+        if cfg.model.saliency_head and hasattr(model, "saliency_scores"):
             with times.stage("saliency"):
                 saliency = model.saliency_scores(params, batch)
         with times.stage("parse_write"):

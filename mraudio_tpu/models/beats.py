@@ -71,22 +71,31 @@ class RelativePositionTable(nn.Module):
 
 
 class GatedBias(nn.Module):
-    """Per-layer query-conditioned gate on the shared bias (BEATs'
-    per-layer ``grep_linear`` with ``gru_rel_pos``)."""
+    """Per-layer query-conditioned gate on the shared bias — BEATs'
+    ``gru_rel_pos`` gating, structure-exact: ``grep_linear`` projects each
+    query head to 8 values, summed in two groups of 4 and squashed to
+    (gate_a, gate_b); the bias scale is
+    ``gate_a * (gate_b * grep_a - 1) + 2`` with a learned per-head
+    ``grep_a`` (BEATs ``backbone.MultiheadAttention``, bound via
+    reference ``models/xinstructblip.py:670-676``)."""
 
     cfg: BeatsConfig
     dtype: jnp.dtype
 
     @nn.compact
     def __call__(self, q: jax.Array, bias: jax.Array) -> jax.Array:
-        # q: (B, L, H, Dh).  BEATs computes an 8-way projection of the
-        # query, sums in pairs to (a, b) and gates with sigmoid(a)*b-style
-        # scaling; we keep the learnable scalar-gate form per head.
-        gate_logits = nn.DenseGeneral(
-            features=1, axis=-1, dtype=self.dtype, param_dtype=jnp.float32, name="gate"
-        )(q)  # (B, L, H, 1)
-        gate = 2.0 * jax.nn.sigmoid(gate_logits.astype(jnp.float32))
-        return gate.transpose(0, 2, 1, 3) * bias
+        # q: (B, L, H, Dh)
+        g = nn.DenseGeneral(
+            features=8, axis=-1, dtype=self.dtype, param_dtype=jnp.float32,
+            name="grep_linear",
+        )(q)  # (B, L, H, 8)
+        g = g.astype(jnp.float32).reshape(g.shape[:-1] + (2, 4)).sum(-1)
+        gate_a, gate_b = jnp.split(jax.nn.sigmoid(g), 2, axis=-1)  # (B,L,H,1)
+        grep_a = self.param(
+            "grep_a", nn.initializers.ones, (self.cfg.num_heads,), jnp.float32
+        )
+        gate = gate_a * (gate_b * grep_a[None, None, :, None] - 1.0) + 2.0
+        return gate.transpose(0, 2, 1, 3) * bias  # (B,H,L,1) * (1,H,L,L)
 
 
 class BeatsBlock(nn.Module):

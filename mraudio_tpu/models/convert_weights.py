@@ -314,11 +314,9 @@ def quantize_llama_int8(params: dict) -> dict:
 def convert_beats(sd: dict, cfg) -> dict:
     """BEATs iter3+ checkpoint → :class:`BeatsEncoder` params.
 
-    Architectural note: BEATs keeps one shared relative-attention-bias
-    table on layer 0 and per-layer gate projections (``grep_linear``);
-    our encoder shares one gate module, which receives layer 0's gate
-    weights.  Other layers' gates are dropped (documented divergence —
-    the bias table itself, the dominant term, is shared in both)."""
+    BEATs keeps one shared relative-attention-bias table on layer 0
+    (reused by every layer) and per-layer ``grep_linear`` (head_dim→8)
+    + ``grep_a`` gate parameters — all mapped exactly."""
     heads = cfg.num_heads
     width = cfg.width
     p = cfg.patch_size
@@ -352,15 +350,21 @@ def convert_beats(sd: dict, cfg) -> dict:
     for i in range(cfg.depth):
         gate_key = f"encoder.layers.{i}.self_attn.grep_linear.weight"
         if gate_key in sd:
-            # grep_linear maps head_dim→8 in BEATs; our gate maps
-            # head_dim→1.  Collapse by averaging output rows (documented
-            # approximation; exact gating needs the 8-way sum structure).
+            # grep_linear: torch Linear(head_dim, 8); grep_a: (1, H, 1, 1)
             gw = sd[gate_key]
-            params[f"gate_{i}"] = {"gate": {
-                "kernel": gw.T.mean(axis=-1, keepdims=True),
-                "bias": sd.get(f"encoder.layers.{i}.self_attn.grep_linear.bias",
-                               np.zeros(8, np.float32)).mean(keepdims=True),
-            }}
+            params[f"gate_{i}"] = {
+                "grep_linear": {
+                    "kernel": gw.T,
+                    "bias": sd.get(
+                        f"encoder.layers.{i}.self_attn.grep_linear.bias",
+                        np.zeros(8, np.float32),
+                    ),
+                },
+                "grep_a": sd.get(
+                    f"encoder.layers.{i}.self_attn.grep_a",
+                    np.ones((1, cfg.num_heads, 1, 1), np.float32),
+                ).reshape(cfg.num_heads),
+            }
 
     for i in range(cfg.depth):
         pre = f"encoder.layers.{i}"
@@ -407,7 +411,12 @@ def load_pretrained_params(model, cfg) -> dict:
     """Random-init the assembly, then overlay every converted checkpoint
     whose path is configured (empty paths stay random — weight-free smoke
     mode).  Mirrors the reference's load order: per-modality bundles,
-    then BLIP-2 stage-1 fallback, then the LLM."""
+    then BLIP-2 stage-1 fallback, then the LLM.
+
+    For the VideoLLaMA backbone, ``cfg.llm_weights`` names the single
+    merged VideoLLaMA2-AV checkpoint (the reference's ``--model-path`` →
+    ``model_init(path)``, ``models/videollama.py:5-6``); ``beats_weights``
+    may still overlay a standalone audio tower."""
     import jax
 
     params = model.init_params(jax.random.PRNGKey(cfg.train.seed))
@@ -418,6 +427,22 @@ def load_pretrained_params(model, cfg) -> dict:
                 overlay(dst[k], v)
             else:
                 dst[k] = np.asarray(v)
+
+    from mraudio_tpu.models.videollama import VideoLLaMA
+
+    if isinstance(model, VideoLLaMA):
+        if cfg.llm_weights:
+            sd = load_torch_state_dict(cfg.llm_weights)
+            converted = convert_videollama(sd, model.cfg)
+            if model.cfg.llm.quantization == "int8" and "llm" in converted:
+                converted["llm"] = quantize_llama_int8(converted["llm"])
+            overlay(params, converted)
+            logger.info("loaded VideoLLaMA checkpoint from %s", cfg.llm_weights)
+        if cfg.beats_weights:
+            sd = load_torch_state_dict(cfg.beats_weights)
+            overlay(params["beats"], convert_beats(sd, model.cfg.beats))
+            logger.info("loaded BEATs weights from %s", cfg.beats_weights)
+        return params
 
     for modality, path in (
         ("video", cfg.video_qformer_weights),
@@ -510,4 +535,80 @@ def convert_clip_vit_hf(sd: dict, cfg, prefix: str = "vision_model.") -> dict:
                         "bias": g(f"{pre}.mlp.fc2.bias")},
             },
         }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# VideoLLaMA2-AV (single merged checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def convert_videollama(sd: dict, cfg) -> dict:
+    """VideoLLaMA2-AV-style merged checkpoint → :class:`VideoLLaMA` params.
+
+    The reference binds VideoLLaMA2 as a black box (``model_init(path)``,
+    ``models/videollama.py:5-6``); the checkpoint that path names is one
+    state dict holding four components, keyed:
+
+    * ``model.vision_tower.vision_tower.vision_model.*`` — HF CLIP-layout
+      vision tower → :func:`convert_clip_vit_hf`;
+    * ``model.mm_projector.readout.{0,2}.*`` — the STC connector's readout
+      MLP → ``connector.proj_in/proj_out`` (the conv downsampling blocks
+      have no counterpart in our pooling connector and are dropped with a
+      log line — docs/DIVERGENCES.md);
+    * ``model.audio_tower.*`` — BEATs-layout audio tower →
+      :func:`convert_beats`;
+    * ``model.mm_projector_a.{readout.}{0,2}.*`` — audio projector MLP →
+      ``audio_proj.fc1/fc2``;
+    * ``model.embed_tokens/layers/norm`` + ``lm_head`` — HF llama/mistral
+      layout LLM → :func:`convert_llama_hf` (qkv bias variants such as
+      Qwen2 are not supported and raise).
+    """
+    params: dict = {}
+
+    vision_prefix = "model.vision_tower.vision_tower.vision_model."
+    if any(k.startswith(vision_prefix) for k in sd):
+        params["vit"] = convert_clip_vit_hf(sd, cfg.vit, prefix=vision_prefix)
+
+    audio_prefix = "model.audio_tower."
+    audio_sd = {k[len(audio_prefix):]: v for k, v in sd.items() if k.startswith(audio_prefix)}
+    if audio_sd:
+        params["beats"] = convert_beats(audio_sd, cfg.beats)
+
+    def mlp_pair(prefix, names):
+        for base in (f"{prefix}readout.", prefix):
+            if f"{base}0.weight" in sd:
+                return {
+                    names[0]: _lin(sd, f"{base}0"),
+                    names[1]: _lin(sd, f"{base}2"),
+                }
+        return None
+
+    connector = mlp_pair("model.mm_projector.", ("proj_in", "proj_out"))
+    if connector:
+        params["connector"] = connector
+        dropped = [
+            k for k in sd
+            if k.startswith("model.mm_projector.") and ".readout." not in k
+        ]
+        if dropped:
+            logger.info(
+                "convert_videollama: dropped %d mm_projector conv/downsample "
+                "keys (pooling connector has no counterpart)", len(dropped),
+            )
+    audio_proj = mlp_pair("model.mm_projector_a.", ("fc1", "fc2"))
+    if audio_proj:
+        params["audio_proj"] = audio_proj
+
+    if "model.embed_tokens.weight" in sd:
+        bias_keys = [
+            k for k in sd
+            if k.startswith("model.layers.") and k.endswith("proj.bias")
+        ]
+        if bias_keys:
+            raise ValueError(
+                "checkpoint has attention-projection biases (Qwen2-style); "
+                "only llama/mistral-layout LLMs are supported"
+            )
+        params["llm"] = convert_llama_hf(sd, cfg.llm)
     return params

@@ -136,9 +136,30 @@ class AudioProjector(nn.Module):
                         name="fc2")(h)
 
 
+def videollama_config_from(m, n_frms: int) -> "VideoLLaMAConfig":
+    """Derive a :class:`VideoLLaMAConfig` from an assembly config
+    (shares the vit/beats/llm/lora size knobs so ``--model-size tiny``
+    and YAML overrides apply to both backbones), picking connector
+    strides compatible with the patch grid and frame count."""
+    grid = m.vit.image_size // m.vit.patch_size
+    spatial_pool = 2 if grid % 2 == 0 else 1
+    temporal_stride = next(d for d in (4, 2, 1) if n_frms % d == 0)
+    return VideoLLaMAConfig(
+        vit=m.vit, beats=m.beats, llm=m.llm, lora=m.lora,
+        spatial_pool=spatial_pool, temporal_stride=temporal_stride,
+        max_txt_len=m.max_txt_len, max_output_txt_len=m.max_output_txt_len,
+        max_new_tokens=m.max_new_tokens,
+    )
+
+
 class VideoLLaMA:
     """Second backbone behind the same generate/loss contract as
     :class:`XInstructBLIP`."""
+
+    # Finetuning trains LoRA adapters + the connector/audio projector
+    # (the projector is VideoLLaMA2's own finetune target); the reference
+    # cannot train this backbone at all (utils/trainer.py:56-69 crashes).
+    TRAINABLE_PATTERN = r"(lora_a|lora_b|connector|audio_proj)"
 
     def __init__(
         self,
@@ -219,12 +240,18 @@ class VideoLLaMA:
 
     # ------------------------------------------------------------------
 
-    def generate(self, params, batch) -> list[str]:
+    def device_inputs(self, batch) -> tuple:
+        """Start async host->device transfer of the heavy batch arrays;
+        call one batch ahead to overlap the transfer with compute."""
+        return (jax.device_put(batch.video), jax.device_put(batch.audio))
+
+    def generate(self, params, batch, device_inputs=None) -> list[str]:
         cfg = self.cfg
         n_frms = batch.timestamps.shape[1]
-        prefix, pmask = self._prefix(
-            params, jnp.asarray(batch.video), jnp.asarray(batch.audio), n_frms
-        )
+        if device_inputs is None:
+            device_inputs = self.device_inputs(batch)
+        video_dev, audio_dev = device_inputs
+        prefix, pmask = self._prefix(params, video_dev, audio_dev, n_frms)
         prompts = [cfg.system_prompt + p.strip() for p in batch.text_input]
         enc = self.llm_tokenizer(
             prompts, max_length=cfg.max_txt_len,
@@ -266,10 +293,11 @@ class VideoLLaMA:
         )[..., 0]
         return -(ll * valid).sum() / jnp.maximum(valid.sum(), 1)
 
-    def loss(self, params, batch) -> jax.Array:
+    def loss_arrays(self, batch) -> tuple:
+        """Host-side text prep → the array tuple ``_loss_fn`` consumes
+        (the trainer's uniform model contract)."""
         cfg = self.cfg
         tok = self.llm_tokenizer
-        n_frms = batch.timestamps.shape[1]
         total = cfg.max_txt_len + cfg.max_output_txt_len
         b = len(batch.text_input)
         concat_ids = np.full((b, total), tok.pad_token_id, np.int32)
@@ -286,8 +314,12 @@ class VideoLLaMA:
             concat_mask[i, : len(seq)] = 1
             labels[i, : len(seq)] = seq
             labels[i, : min(len(in_ids), total)] = -100
+        return (np.asarray(batch.video), np.asarray(batch.audio),
+                concat_ids, concat_mask, labels)
+
+    def loss(self, params, batch) -> jax.Array:
+        arrays = self.loss_arrays(batch)
         return self._loss_fn(
-            params, jnp.asarray(batch.video), jnp.asarray(batch.audio),
-            jnp.asarray(concat_ids), jnp.asarray(concat_mask), jnp.asarray(labels),
-            n_frms=n_frms,
+            params, *(jnp.asarray(a) for a in arrays),
+            n_frms=batch.timestamps.shape[1],
         )

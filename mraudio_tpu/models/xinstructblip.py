@@ -123,6 +123,11 @@ class XInstructBLIP:
     """Owns the module set + host tokenization; exposes jitted
     ``generate`` / ``loss`` with explicit params (trainer-friendly)."""
 
+    # Reference parity: only LoRA adapters train
+    # (models/xinstructblip.py:90-204); the saliency head (a capability
+    # addition) trains with them when enabled.
+    TRAINABLE_PATTERN = r"(lora_a|lora_b|saliency_head)"
+
     def __init__(
         self,
         cfg: XInstructBLIPConfig,
@@ -537,22 +542,26 @@ class XInstructBLIP:
         )
         return -ll_sum / jnp.maximum(count, 1)
 
-    def loss(self, params, batch) -> jax.Array:
-        """Training forward → scalar CE loss
-        (reference ``models/xinstructblip.py:399-606``)."""
-        n_frms = batch.timestamps.shape[1]
+    def loss_arrays(self, batch) -> tuple:
+        """Host-side text prep → the array tuple ``_loss_fn`` consumes
+        (the trainer's uniform model contract)."""
         text = self.prepare_text(
             batch.text_input, np.asarray(batch.timestamps), batch.duration,
             text_output=batch.text_output,
         )
+        return (
+            np.asarray(batch.video), np.asarray(batch.audio),
+            text.qformer_ids, text.qformer_mask,
+            text.ts_ids, text.ts_mask,
+            text.dur_ids, text.dur_mask,
+            text.concat_ids, text.concat_mask, text.labels,
+        )
+
+    def loss(self, params, batch) -> jax.Array:
+        """Training forward → scalar CE loss
+        (reference ``models/xinstructblip.py:399-606``)."""
+        arrays = self.loss_arrays(batch)
         return self._loss_fn(
-            params,
-            jnp.asarray(batch.video),
-            jnp.asarray(batch.audio),
-            jnp.asarray(text.qformer_ids), jnp.asarray(text.qformer_mask),
-            jnp.asarray(text.ts_ids), jnp.asarray(text.ts_mask),
-            jnp.asarray(text.dur_ids), jnp.asarray(text.dur_mask),
-            jnp.asarray(text.concat_ids), jnp.asarray(text.concat_mask),
-            jnp.asarray(text.labels),
-            n_frms=n_frms,
+            params, *(jnp.asarray(a) for a in arrays),
+            n_frms=batch.timestamps.shape[1],
         )

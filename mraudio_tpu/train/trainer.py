@@ -35,6 +35,7 @@ from mraudio_tpu.models.xinstructblip import XInstructBLIP
 from mraudio_tpu.text.postprocess import moment_str_to_list, post_process
 from mraudio_tpu.train import checkpoint as ckpt
 from mraudio_tpu.train.optim import (
+    DEFAULT_TRAINABLE_PATTERN,
     build_optimizer,
     lavis_warmup_cosine_schedule,
     merge_params,
@@ -58,7 +59,16 @@ class Trainer:
     ):
         self.cfg = cfg
         tc = cfg.train
-        self.model = model or XInstructBLIP(cfg.model, audio_cfg=cfg.data.audio)
+        if model is None:
+            from mraudio_tpu.models.factory import build_model
+
+            model = build_model(cfg)
+        self.model = model
+        # Per-model trainable partition (XInstructBLIP: LoRA [+saliency];
+        # VideoLLaMA: LoRA + connector/audio projector).
+        self.trainable_pattern = getattr(
+            model, "TRAINABLE_PATTERN", DEFAULT_TRAINABLE_PATTERN
+        )
 
         if params is None:
             params = self.model.init_params(jax.random.PRNGKey(tc.seed))
@@ -73,7 +83,7 @@ class Trainer:
             self._mesh_ctx = jax.set_mesh(self.mesh)
             self._mesh_ctx.__enter__()
             params = shard_params(params, self.mesh)
-        self.trainable, self.frozen = split_trainable(params)
+        self.trainable, self.frozen = split_trainable(params, self.trainable_pattern)
         if frozen_bf16:
             # Frozen base weights are read every step; bf16 halves the HBM
             # traffic and the matmuls consume bf16 regardless (the LoRA
@@ -143,31 +153,13 @@ class Trainer:
         return jax.jit(step_fn, donate_argnums=(0, 2))
 
     def _arrays_for_loss(self, batch):
-        text = self.model.prepare_text(
-            batch.text_input, np.asarray(batch.timestamps), batch.duration,
-            text_output=batch.text_output,
-        )
+        arrays = self.model.loss_arrays(batch)
         if self.mesh is not None:
             from mraudio_tpu.parallel import batch_sharding
 
             bsh = batch_sharding(self.mesh)
-            put = lambda a: jax.device_put(np.asarray(a), bsh)
-            return (
-                put(batch.video), put(batch.audio),
-                put(text.qformer_ids), put(text.qformer_mask),
-                put(text.ts_ids), put(text.ts_mask),
-                put(text.dur_ids), put(text.dur_mask),
-                put(text.concat_ids), put(text.concat_mask),
-                put(text.labels),
-            )
-        return (
-            jnp.asarray(batch.video), jnp.asarray(batch.audio),
-            jnp.asarray(text.qformer_ids), jnp.asarray(text.qformer_mask),
-            jnp.asarray(text.ts_ids), jnp.asarray(text.ts_mask),
-            jnp.asarray(text.dur_ids), jnp.asarray(text.dur_mask),
-            jnp.asarray(text.concat_ids), jnp.asarray(text.concat_mask),
-            jnp.asarray(text.labels),
-        )
+            return tuple(jax.device_put(np.asarray(a), bsh) for a in arrays)
+        return tuple(jnp.asarray(a) for a in arrays)
 
     @property
     def params(self) -> dict:
