@@ -68,6 +68,15 @@ def run_inference(
         annotations, cfg.data.num_chunks, cfg.data.chunk_idx
     )
 
+    # Preflight: prove the static timestamp/duration token budgets hold
+    # for this dataset's value range (silent truncation would corrupt
+    # the interleave; the reference pads-to-longest and cannot truncate).
+    if hasattr(model, "prepare_text") and annotations:
+        from mraudio_tpu.text.tokenizer import validate_time_budgets
+
+        max_dur = int(max(a["duration"] for a in annotations)) + 1
+        validate_time_budgets(model.llm_tokenizer, model.cfg, max_dur)
+
     dataset = MRDataset(cfg.data, annotations=annotations, split="eval")
     loader = BatchLoader(dataset, batch_size, shuffle=False)
 

@@ -152,9 +152,14 @@ class XInstructBLIP:
         self.saliency_head = _SaliencyHead()
 
         # Modality cue token ids (reference pre-embeds these once,
-        # models/xinstructblip.py:206-217).
+        # models/xinstructblip.py:206-217).  The reference call uses the
+        # tokenizer default add_special_tokens=True, so every per-frame
+        # cue starts with the remapped BOS (</s>, id 2) — reproduced.
         self.cue_ids = {
-            m: np.asarray(self.llm_tokenizer.encode(MODALITY_CUES[m]), np.int32)
+            m: np.asarray(
+                self.llm_tokenizer.encode(MODALITY_CUES[m], add_special_tokens=True),
+                np.int32,
+            )
             for m in ("video", "audio")
         }
 
@@ -226,9 +231,12 @@ class XInstructBLIP:
         cfg = self.cfg
         b, t = timestamps.shape
 
+        # Reference BertTokenizer call uses default special tokens
+        # ([CLS]...[SEP], models/xinstructblip.py:233-238).
         q_enc = self.qformer_tokenizer(
             text_input, max_length=cfg.max_txt_len,
             padding_side="right", truncation_side="left",
+            add_special_tokens=True,
         )
 
         flat_ts = [
@@ -240,6 +248,18 @@ class XInstructBLIP:
             flat_ts, max_length=cfg.tokens_per_timestamp,
             padding_side="right", truncation_side="right",
         )
+        # The reference pads timestamps/durations to longest and can never
+        # truncate them (models/xinstructblip.py:327-333,368-374); a static
+        # budget that clips one would silently corrupt the interleave, so
+        # overflow is a hard error (raise the tokens_per_* config).
+        if ts_enc.num_truncated:
+            worst = flat_ts[int(np.argmax(ts_enc.lengths))]
+            raise ValueError(
+                f"{ts_enc.num_truncated} timestamp renderings exceed "
+                f"tokens_per_timestamp={cfg.tokens_per_timestamp} "
+                f"(e.g. {worst!r} -> {int(ts_enc.lengths.max())} tokens); "
+                "raise XInstructBLIPConfig.tokens_per_timestamp"
+            )
         ts_ids = ts_enc.input_ids.reshape(b, t, cfg.tokens_per_timestamp)
         ts_mask = ts_enc.attention_mask.reshape(b, t, cfg.tokens_per_timestamp)
 
@@ -247,6 +267,13 @@ class XInstructBLIP:
             [f"{dur} " for dur in duration], max_length=cfg.tokens_per_duration,
             padding_side="right", truncation_side="right",
         )
+        if dur_enc.num_truncated:
+            raise ValueError(
+                f"{dur_enc.num_truncated} duration renderings exceed "
+                f"tokens_per_duration={cfg.tokens_per_duration} "
+                f"(max {int(dur_enc.lengths.max())} tokens); raise "
+                "XInstructBLIPConfig.tokens_per_duration"
+            )
 
         if text_output is None:
             # Generate: stripped prompt, left padding, no specials

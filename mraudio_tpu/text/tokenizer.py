@@ -29,6 +29,16 @@ class BatchEncoding(dict):
     def attention_mask(self) -> np.ndarray:
         return self["attention_mask"]
 
+    @property
+    def lengths(self) -> np.ndarray:
+        """Raw (pre-truncation) sequence lengths: lets callers detect
+        silent truncation against their static budget."""
+        return self["lengths"]
+
+    @property
+    def num_truncated(self) -> int:
+        return int((self.lengths > self.input_ids.shape[1]).sum())
+
 
 def _pad_batch(
     seqs: list[list[int]],
@@ -39,6 +49,7 @@ def _pad_batch(
 ) -> BatchEncoding:
     ids = np.full((len(seqs), max_len), pad_id, dtype=np.int32)
     mask = np.zeros((len(seqs), max_len), dtype=np.int32)
+    lengths = np.array([len(s) for s in seqs], dtype=np.int32)
     for i, seq in enumerate(seqs):
         if len(seq) > max_len:
             seq = seq[-max_len:] if truncation_side == "left" else seq[:max_len]
@@ -49,7 +60,7 @@ def _pad_batch(
         else:
             ids[i, :n] = seq
             mask[i, :n] = 1
-    return BatchEncoding(input_ids=ids, attention_mask=mask)
+    return BatchEncoding(input_ids=ids, attention_mask=mask, lengths=lengths)
 
 
 class ByteTokenizer:
@@ -126,6 +137,45 @@ class HFTokenizerWrapper:
                  truncation_side="right", add_special_tokens=False) -> BatchEncoding:
         seqs = [self.encode(t, add_special_tokens) for t in texts]
         return _pad_batch(seqs, max_length, self.pad_token_id, padding_side, truncation_side)
+
+
+def required_token_budget(tokenizer, values, template: str = " {} ") -> int:
+    """Max token count of ``template.format(v)`` over ``values`` for any
+    tokenizer implementing the protocol — used to validate the static
+    ``tokens_per_timestamp`` / ``tokens_per_duration`` budgets against a
+    real vocabulary (the reference pads to longest and can never
+    truncate these; we must prove our fixed budgets don't either)."""
+    return max(
+        len(tokenizer.encode(template.format(v), add_special_tokens=False))
+        for v in values
+    )
+
+
+def validate_time_budgets(tokenizer, cfg, max_seconds: int = 10_000) -> None:
+    """Raise if any timestamp/duration rendering in [0, max_seconds]
+    would overflow the model config's static budgets.  Sweeps the worst
+    cases per digit count rather than every integer."""
+    probes = [0, 1, 7, 9]
+    v = 9
+    while v <= max_seconds:
+        probes.extend([v, min(v + 1, max_seconds)])
+        v = v * 10 + 9
+    probes.append(max_seconds)
+    need_ts = required_token_budget(tokenizer, probes, " {} ")
+    need_dur = required_token_budget(tokenizer, probes, "{} ")
+    errors = []
+    if need_ts > cfg.tokens_per_timestamp:
+        errors.append(
+            f"tokens_per_timestamp={cfg.tokens_per_timestamp} < required "
+            f"{need_ts} for values up to {max_seconds}s"
+        )
+    if need_dur > cfg.tokens_per_duration:
+        errors.append(
+            f"tokens_per_duration={cfg.tokens_per_duration} < required "
+            f"{need_dur} for values up to {max_seconds}s"
+        )
+    if errors:
+        raise ValueError("; ".join(errors))
 
 
 def load_llama_tokenizer(path: str):

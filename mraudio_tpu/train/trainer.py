@@ -109,6 +109,22 @@ class Trainer:
             val_dataset = MRDataset(
                 cfg.data, annotation_path=cfg.data.val_annotation_file, split="eval"
             )
+        # Preflight the static timestamp/duration token budgets against
+        # this dataset's value range (prepare_text also hard-errors at
+        # use time; failing here is friendlier).
+        if hasattr(self.model, "prepare_text"):
+            from mraudio_tpu.text.tokenizer import validate_time_budgets
+
+            durations = [
+                a["duration"]
+                for ds in (train_dataset, val_dataset)
+                for a in ds.annotation
+            ]
+            if durations:
+                validate_time_budgets(
+                    self.model.llm_tokenizer, self.model.cfg, int(max(durations)) + 1
+                )
+
         shard_index, shard_count = jax.process_index(), jax.process_count()
         self.train_loader = BatchLoader(
             train_dataset, tc.batch_size, shuffle=True, seed=tc.seed,
