@@ -37,7 +37,12 @@ def build_config(args):
     )
     if args.video_source:
         data = data.replace(video_source=args.video_source)
-    return cfg.replace(model_name=args.model, data=data)
+    return cfg.replace(
+        model_name=args.model,
+        data=data,
+        llm_weights=args.model_path or cfg.llm_weights,
+        beats_weights=args.audio_encoder or cfg.beats_weights,
+    )
 
 
 def main(argv=None):
@@ -61,11 +66,6 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO)
     cfg = build_config(args)
-
-    cfg = cfg.replace(
-        llm_weights=args.model_path or cfg.llm_weights,
-        beats_weights=args.audio_encoder or cfg.beats_weights,
-    )
 
     from mraudio_tpu.infer.evaluate import run_inference
     from mraudio_tpu.models.convert_weights import load_pretrained_params

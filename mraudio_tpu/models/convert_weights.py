@@ -206,7 +206,13 @@ def convert_qformer_bundle(sd: dict, cfg, modality: str) -> dict:
         out[f"{modality}_qformer"] = convert_qformer(qf_sd, cfg)
     if f"{modality}_query_tokens" in sd:
         out[f"{modality}_query_tokens"] = sd[f"{modality}_query_tokens"]
+    # LN routing: "{modality}_ln", with the video branch also accepting
+    # "ln_vision" — the reference maps load_ln_type "vision" to that name
+    # (models/xinstructblip.py:694-696), and the Salesforce video bundle
+    # stores its LN under it.
     ln_key = f"{modality}_ln"
+    if f"{ln_key}.weight" not in sd and modality == "video" and "ln_vision.weight" in sd:
+        ln_key = "ln_vision"
     if f"{ln_key}.weight" in sd:
         out[f"{modality}_ln"] = {
             "ln": {
