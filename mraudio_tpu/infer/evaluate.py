@@ -30,6 +30,16 @@ from mraudio_tpu.text.postprocess import moment_str_to_list, post_process
 logger = logging.getLogger("mraudio_tpu")
 
 
+def saliency_to_clip_grid(frame_times, scores, duration) -> list:
+    """Resample per-frame saliency onto the QVH 2s-clip grid (one score
+    per clip, ``eval/mr_eval.py:279-288``)."""
+    num_clips = max(int(duration / 2), 1)
+    clip_centers = 2.0 * np.arange(num_clips) + 1.0
+    return np.interp(
+        clip_centers, np.asarray(frame_times, np.float64), np.asarray(scores)
+    ).tolist()
+
+
 def run_inference(
     cfg: RunConfig,
     model=None,
@@ -97,12 +107,16 @@ def run_inference(
         current = next(it, None)
         if current is not None:
             dev = model.device_inputs(current)
-        with times.stage("generate", items=int(batch.valid.sum())):
-            outputs = model.generate(params, batch, device_inputs=batch_dev)
         saliency = None
-        if cfg.model.saliency_head and hasattr(model, "saliency_scores"):
-            with times.stage("saliency"):
-                saliency = model.saliency_scores(params, batch)
+        want_saliency = cfg.model.saliency_head and hasattr(model, "saliency_scores")
+        with times.stage("generate", items=int(batch.valid.sum())):
+            if want_saliency:
+                # single fused jit: decode + saliency share the encoder pass
+                outputs, saliency = model.generate(
+                    params, batch, device_inputs=batch_dev, return_saliency=True
+                )
+            else:
+                outputs = model.generate(params, batch, device_inputs=batch_dev)
         with times.stage("parse_write"):
             for row, (qid, query, vid, raw_out, dur, valid) in enumerate(zip(
                 batch.qid, batch.query, batch.vid, outputs, batch.duration,
@@ -131,14 +145,9 @@ def run_inference(
                     "raw_out": raw_out,
                 }
                 if saliency is not None:
-                    # resample per-frame scores onto the QVH 2s-clip grid
-                    # (one score per clip, eval/mr_eval.py:279-288)
-                    num_clips = max(int(dur / 2), 1)
-                    clip_centers = 2.0 * np.arange(num_clips) + 1.0
-                    frame_times = np.asarray(batch.timestamps[row], np.float64)
-                    record["pred_saliency_scores"] = np.interp(
-                        clip_centers, frame_times, saliency[row]
-                    ).tolist()
+                    record["pred_saliency_scores"] = saliency_to_clip_grid(
+                        batch.timestamps[row], saliency[row], dur
+                    )
                 records.append(record)
                 n_clips += 1
     elapsed = time.time() - start

@@ -439,7 +439,11 @@ class XInstructBLIP:
         )
 
     def saliency_scores(self, params, batch) -> np.ndarray:
-        """(B, T) per-frame saliency (requires ``cfg.saliency_head``)."""
+        """(B, T) per-frame saliency (requires ``cfg.saliency_head``).
+
+        Standalone path that re-runs the encoders; batched inference
+        should use ``generate(..., return_saliency=True)`` instead, which
+        reuses the generate pass's modal tokens."""
         n_frms = batch.timestamps.shape[1]
         text = self.prepare_text(
             batch.text_input, np.asarray(batch.timestamps), batch.duration
@@ -456,15 +460,28 @@ class XInstructBLIP:
         ts_ids, ts_mask, dur_ids, dur_mask, prompt_ids, prompt_mask, n_frms,
     ):
         """Whole inference graph — preprocess, encoders, interleave,
-        prefill, decode — in ONE jit (one dispatch per batch)."""
-        embeds, mask = self._prefix_and_prompt(
-            params, video_u8, audio_wave, qformer_ids, qformer_mask,
-            ts_ids, ts_mask, dur_ids, dur_mask, prompt_ids, prompt_mask, n_frms,
+        prefill, decode (+ saliency off the same modal tokens) — in ONE
+        jit (one dispatch per batch)."""
+        modal = self._encode_modality_tokens(
+            params, video_u8, audio_wave, qformer_ids, qformer_mask, n_frms
         )
-        return greedy_generate(
+        prefix, pmask = self._build_prefix(
+            params, modal, ts_ids, ts_mask, dur_ids, dur_mask
+        )
+        prompt_emb = self._embed_ids(params, prompt_ids)
+        embeds = jnp.concatenate([prefix, prompt_emb], axis=1)
+        mask = jnp.concatenate([pmask, prompt_mask], axis=1)
+        tokens = greedy_generate(
             self.llm, {"params": params["llm"]}, embeds, mask,
             self.cfg.max_new_tokens, self.llm_tokenizer.eos_token_id,
         )
+        saliency = None
+        if self.cfg.saliency_head:
+            # reuse the generate pass's video tokens — no second encode
+            saliency = self.saliency_head.apply(
+                {"params": params["saliency_head"]}, modal["video"]
+            )
+        return tokens, saliency
 
     def device_inputs(self, batch) -> tuple:
         """Start async host->device transfer of the heavy batch arrays;
@@ -473,9 +490,14 @@ class XInstructBLIP:
 
         return (jax.device_put(batch.video), jax.device_put(batch.audio))
 
-    def generate(self, params, batch, device_inputs=None) -> list[str]:
+    def generate(self, params, batch, device_inputs=None,
+                 return_saliency: bool = False):
         """Batched greedy span generation → decoded strings
-        (reference ``models/xinstructblip.py:221-397``)."""
+        (reference ``models/xinstructblip.py:221-397``).
+
+        With ``return_saliency=True`` (needs ``cfg.saliency_head``),
+        returns ``(texts, (B, T) saliency)`` computed from the same
+        encoder pass."""
         cfg = self.cfg
         n_frms = batch.timestamps.shape[1]
         text = self.prepare_text(
@@ -484,7 +506,7 @@ class XInstructBLIP:
         if device_inputs is None:
             device_inputs = self.device_inputs(batch)
         video_dev, audio_dev = device_inputs
-        tokens = self._generate_tokens(
+        tokens, saliency = self._generate_tokens(
             params,
             video_dev,
             audio_dev,
@@ -498,13 +520,17 @@ class XInstructBLIP:
         # id-0 → eos repair before decode (models/xinstructblip.py:393).
         tokens[tokens == 0] = self.llm_tokenizer.eos_token_id
         texts = self.llm_tokenizer.batch_decode(tokens, skip_special_tokens=True)
-        return [t.strip() for t in texts]
+        texts = [t.strip() for t in texts]
+        if return_saliency:
+            return texts, (np.asarray(saliency) if saliency is not None else None)
+        return texts
 
     @functools.partial(jax.jit, static_argnames=("self", "n_frms"))
     def _loss_fn(
         self, params, video_u8, audio_wave, qformer_ids, qformer_mask,
         ts_ids, ts_mask, dur_ids, dur_mask, concat_ids, concat_mask, labels,
-        n_frms,
+        saliency_labels=None,
+        *, n_frms,
     ):
         modal = self._encode_modality_tokens(
             params, video_u8, audio_wave, qformer_ids, qformer_mask, n_frms
@@ -535,6 +561,21 @@ class XInstructBLIP:
         # (B, S, 32001) fp32 logits (+ a log_softmax copy) costs GBs at
         # QVH scale; per-chunk lm_head + remat keeps it to ~100 MB.
         loss = self._chunked_ce(params, hidden[:, :-1], full_labels[:, 1:])
+
+        # Saliency head: sigmoid BCE against per-frame in-window labels
+        # (capability addition; -1 labels are ignored).  Trains jointly
+        # with the LoRA CE — the head is in TRAINABLE_PATTERN.
+        if self.cfg.saliency_head and saliency_labels is not None:
+            scores = self.saliency_head.apply(
+                {"params": params["saliency_head"]}, modal["video"]
+            ).astype(jnp.float32)
+            sl = saliency_labels.astype(jnp.float32)
+            valid = sl >= 0
+            target = jnp.where(valid, sl, 0.0)
+            bce = jnp.maximum(scores, 0) - scores * target + jnp.log1p(
+                jnp.exp(-jnp.abs(scores))
+            )
+            loss = loss + (bce * valid).sum() / jnp.maximum(valid.sum(), 1)
         return loss
 
     def _chunked_ce(self, params, hidden, labels, chunk: int = 512):
@@ -576,13 +617,39 @@ class XInstructBLIP:
             batch.text_input, np.asarray(batch.timestamps), batch.duration,
             text_output=batch.text_output,
         )
-        return (
+        arrays = (
             np.asarray(batch.video), np.asarray(batch.audio),
             text.qformer_ids, text.qformer_mask,
             text.ts_ids, text.ts_mask,
             text.dur_ids, text.dur_mask,
             text.concat_ids, text.concat_mask, text.labels,
         )
+        if self.cfg.saliency_head:
+            arrays = arrays + (self._saliency_labels(batch),)
+        return arrays
+
+    @staticmethod
+    def _saliency_labels(batch) -> np.ndarray:
+        """(B, T) {0,1} per-frame in-window labels from the training
+        targets (text_output is ``str(relevant_windows)``); -1 where the
+        windows can't be parsed."""
+        import ast
+
+        stamps = np.asarray(batch.timestamps)
+        labels = np.full(stamps.shape, -1.0, np.float32)
+        for i, out in enumerate(batch.text_output):
+            try:
+                windows = ast.literal_eval(out)
+            except (ValueError, SyntaxError):
+                continue
+            if not isinstance(windows, (list, tuple)):
+                continue
+            row = np.zeros(stamps.shape[1], np.float32)
+            for w in windows:
+                if isinstance(w, (list, tuple)) and len(w) == 2:
+                    row += (stamps[i] >= w[0]) & (stamps[i] <= w[1])
+            labels[i] = np.minimum(row, 1.0)
+        return labels
 
     def loss(self, params, batch) -> jax.Array:
         """Training forward → scalar CE loss

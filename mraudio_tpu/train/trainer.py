@@ -244,24 +244,50 @@ class Trainer:
 
     def eval_epoch(self) -> dict:
         params = self.params
+        # HL metrics need GT saliency (QVH 2s-clip annotator scores) plus
+        # our predicted scores; both ride the same records since
+        # eval_submission(results, results) self-scores.
+        want_saliency = (
+            getattr(self.model.cfg, "saliency_head", False)
+            and hasattr(self.model, "saliency_scores")
+        )
+        gt_by_qid = {a["qid"]: a for a in self.val_loader.dataset.annotation}
         results = []
         for batch in self.val_loader:
-            outputs = self.model.generate(params, batch)
-            for qid, query, vid, target, output, valid in zip(
+            saliency = None
+            if want_saliency:
+                outputs, saliency = self.model.generate(
+                    params, batch, return_saliency=True
+                )
+            else:
+                outputs = self.model.generate(params, batch)
+            for row, (qid, query, vid, target, output, valid) in enumerate(zip(
                 batch.qid, batch.query, batch.vid, batch.text_output, outputs,
                 batch.valid,
-            ):
+            )):
                 if not valid:
                     continue
-                results.append(
-                    {
-                        "qid": qid,
-                        "query": query,
-                        "vid": vid,
-                        "relevant_windows": moment_str_to_list(post_process(target)),
-                        "pred_relevant_windows": moment_str_to_list(post_process(output)),
-                    }
-                )
+                record = {
+                    "qid": qid,
+                    "query": query,
+                    "vid": vid,
+                    "relevant_windows": moment_str_to_list(post_process(target)),
+                    "pred_relevant_windows": moment_str_to_list(post_process(output)),
+                }
+                ann = gt_by_qid.get(qid, {})
+                if saliency is not None and "saliency_scores" in ann:
+                    from mraudio_tpu.infer.evaluate import saliency_to_clip_grid
+
+                    record["pred_saliency_scores"] = saliency_to_clip_grid(
+                        batch.timestamps[row], saliency[row], ann["duration"]
+                    )
+                    record["saliency_scores"] = ann["saliency_scores"]
+                    record["duration"] = ann["duration"]
+                    record["relevant_clip_ids"] = ann.get(
+                        "relevant_clip_ids",
+                        list(range(len(ann["saliency_scores"]))),
+                    )
+                results.append(record)
         results = _allgather_results(results)
         return eval_submission(results, results, verbose=False)
 
