@@ -1,0 +1,164 @@
+"""Serving driver: continuous-batched moment retrieval over a request
+stream.
+
+Wires ``infer/serving.py::ContinuousBatcher`` to the real model surface
+(the round-1 review flagged the engine as an island).  Requests come
+from an annotation JSONL; each is encoded (encoders + interleave, the
+same single-jit prefix the batch driver uses), prefilled into a free
+decode slot, and decoded continuously — a finished slot frees
+immediately instead of waiting on the batch.  Reports per-request
+latency percentiles and requests/sec; ``--sweep-slots`` measures the
+slot-count → throughput curve.
+
+No reference counterpart: the reference serves nothing (its
+``evaluate.py`` is batch-only).  This is a capability addition.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+
+import numpy as np
+
+logger = logging.getLogger("mraudio_tpu")
+
+
+def encode_requests(model, params, dataset, limit=None):
+    """Per-annotation prefix embeds via the model's fused encoder pass."""
+    import jax.numpy as jnp
+
+    from mraudio_tpu.data.dataset import collate
+    from mraudio_tpu.infer.serving import Request
+
+    n = len(dataset) if limit is None else min(limit, len(dataset))
+    requests = []
+    for i in range(n):
+        batch = collate([dataset.get(i)], 1)
+        text = model.prepare_text(
+            batch.text_input, np.asarray(batch.timestamps), batch.duration
+        )
+        embeds, mask = model._prefix_and_prompt(
+            params,
+            jnp.asarray(batch.video), jnp.asarray(batch.audio),
+            jnp.asarray(text.qformer_ids), jnp.asarray(text.qformer_mask),
+            jnp.asarray(text.ts_ids), jnp.asarray(text.ts_mask),
+            jnp.asarray(text.dur_ids), jnp.asarray(text.dur_mask),
+            jnp.asarray(text.prompt_ids), jnp.asarray(text.prompt_mask),
+            n_frms=batch.timestamps.shape[1],
+        )
+        requests.append(
+            (Request(i, np.asarray(embeds[0]), np.asarray(mask[0])),
+             dataset.annotation[i])
+        )
+    return requests
+
+
+def serve(model, params, requests, max_slots: int, max_new_tokens: int):
+    """Run the stream through the engine; returns (records, stats)."""
+    from mraudio_tpu.infer.serving import ContinuousBatcher
+    from mraudio_tpu.text.postprocess import moment_str_to_list, post_process
+
+    prefix_len = requests[0][0].prefix_embeds.shape[0]
+    engine = ContinuousBatcher(
+        model.llm, {"params": params["llm"]}, prefix_len,
+        max_new_tokens, model.llm_tokenizer.eos_token_id, max_slots=max_slots,
+    )
+
+    pending = list(requests)
+    ann_by_id = {req.request_id: ann for req, ann in requests}
+    submit_time, records = {}, []
+    t_start = time.time()
+
+    def handle(completion):
+        tokens = np.asarray(completion.token_ids)
+        tokens[tokens == 0] = model.llm_tokenizer.eos_token_id
+        raw = model.llm_tokenizer.decode(tokens, skip_special_tokens=True).strip()
+        ann = ann_by_id[completion.request_id]
+        records.append({
+            "qid": ann["qid"],
+            "query": ann["query"],
+            "vid": ann["vid"],
+            "pred_relevant_windows": moment_str_to_list(post_process(raw)),
+            "raw_out": raw,
+            "latency_s": round(time.time() - submit_time[completion.request_id], 4),
+        })
+
+    while pending or engine.active.any():
+        while pending and engine.free_slots():
+            req, _ = pending.pop(0)
+            submit_time[req.request_id] = time.time()
+            engine.submit(req)
+        for completion in engine.step():
+            handle(completion)
+    elapsed = time.time() - t_start
+
+    lat = np.array([r["latency_s"] for r in records])
+    stats = {
+        "requests": len(records),
+        "slots": max_slots,
+        "elapsed_s": round(elapsed, 2),
+        "requests_per_sec": round(len(records) / elapsed, 4),
+        "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
+        "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
+    }
+    return records, stats
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="mraudio_tpu serving driver")
+    parser.add_argument("--model", default="X-InstructBLIP")
+    parser.add_argument("--model-path", default="")
+    parser.add_argument("--audio-encoder", default="")
+    parser.add_argument("--video-folder", default="")
+    parser.add_argument("--annotation-file", required=True)
+    parser.add_argument("--output-file", default="")
+    parser.add_argument("--config", default="")
+    parser.add_argument("--video-source", default="", choices=["", "native", "synthetic", "npy"])
+    parser.add_argument("--model-size", default="full", choices=["full", "tiny"])
+    parser.add_argument("--n-frms", type=int, default=0)
+    parser.add_argument("--slots", type=int, default=4)
+    parser.add_argument("--max-requests", type=int, default=0)
+    parser.add_argument("--sweep-slots", default="",
+                        help="comma-separated slot counts to benchmark, e.g. 1,2,4,8")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+
+    from mraudio_tpu.cli.evaluate import build_config
+    from mraudio_tpu.data.dataset import MRDataset
+    from mraudio_tpu.models.casting import cast_params_for_inference
+    from mraudio_tpu.models.convert_weights import load_pretrained_params
+    from mraudio_tpu.models.factory import build_model
+
+    args.num_chunks, args.chunk_idx, args.dataset = 1, 0, "QVH"
+    cfg = build_config(args)
+    model = build_model(cfg)
+    params = cast_params_for_inference(load_pretrained_params(model, cfg))
+
+    dataset = MRDataset(
+        cfg.data, annotation_path=cfg.data.annotation_file, split="eval"
+    )
+    limit = args.max_requests or None
+    requests = encode_requests(model, params, dataset, limit=limit)
+
+    if args.sweep_slots:
+        for slots in (int(s) for s in args.sweep_slots.split(",")):
+            _, stats = serve(model, params, requests, slots,
+                             model.cfg.max_new_tokens)
+            print(json.dumps(stats))
+        return
+
+    records, stats = serve(model, params, requests, args.slots,
+                           model.cfg.max_new_tokens)
+    if args.output_file:
+        with open(args.output_file, "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

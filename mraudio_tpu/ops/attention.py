@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "block_k"))
+@functools.partial(jax.jit, static_argnames=("causal", "block_k", "block_q"))
 def chunked_attention(
     q: jax.Array,          # (B, H, S, D)
     k: jax.Array,          # (B, H, KV, D)
@@ -37,13 +37,19 @@ def chunked_attention(
     mask: jax.Array,       # (B, KV) {0,1} validity
     causal: bool = True,
     block_k: int = 512,
+    block_q: int = 512,
 ) -> jax.Array:
-    """Online-softmax attention in pure XLA: a ``lax.scan`` over kv
-    chunks with running (max, sum, acc) statistics.  Same O(S·D) HBM
-    footprint as the Pallas kernel, compiled through the ordinary XLA
-    path — the portable default (the Mosaic custom-call path is not
-    available behind every TPU frontend)."""
+    """Online-softmax attention in pure XLA: an outer ``lax.map`` over
+    query tiles and an inner ``lax.scan`` over kv chunks with running
+    (max, sum, acc) statistics.  Temporaries are O(block_q x block_k)
+    per step — tiling *both* axes is what lets a B=2, 5.3k-token
+    prefill fit next to a 7B model (untiled queries cost a
+    (B, H, S, block_k) fp32 logits buffer = GBs at that shape).  Same
+    O(S·D) HBM footprint as the Pallas kernel, compiled through the
+    ordinary XLA path — the portable default (the Mosaic custom-call
+    path is not available behind every TPU frontend)."""
     b, h, s, d = q.shape
+    orig_s = s
     kv_len = k.shape[2]
     pad_k = (-kv_len) % block_k
     if pad_k:
@@ -53,53 +59,68 @@ def chunked_attention(
         kv_len += pad_k
     num_chunks = kv_len // block_k
 
+    block_q = min(block_q, max(s, 1))
+    pad_q = (-s) % block_q
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        s += pad_q
+    num_q = s // block_q
+
     scale = 1.0 / math.sqrt(d)
-    q32 = q.astype(jnp.float32) * scale
     k_chunks = k.reshape(b, h, num_chunks, block_k, d).transpose(2, 0, 1, 3, 4)
     v_chunks = v.reshape(b, h, num_chunks, block_k, d).transpose(2, 0, 1, 3, 4)
     mask_chunks = mask.reshape(b, num_chunks, block_k).transpose(1, 0, 2)
+    q_tiles = q.reshape(b, h, num_q, block_q, d).transpose(2, 0, 1, 3, 4)
 
-    q_pos = jnp.arange(s)[None, None, :, None]          # (1,1,S,1)
+    def q_tile(inputs):
+        qb_idx, q_blk = inputs
+        q32 = q_blk.astype(jnp.float32) * scale
+        q_pos = (qb_idx * block_q
+                 + jnp.arange(block_q)[None, None, :, None])  # (1,1,bq,1)
 
-    def step(carry, inputs):
-        acc, m_i, l_i = carry
-        c_idx, k_blk, v_blk, m_blk = inputs
-        logits = jnp.einsum(
-            "bhsd,bhkd->bhsk", q32, k_blk.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
+        def step(carry, inputs):
+            acc, m_i, l_i = carry
+            c_idx, k_blk, v_blk, m_blk = inputs
+            logits = jnp.einsum(
+                "bhsd,bhkd->bhsk", q32, k_blk.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            valid = m_blk[:, None, None, :].astype(bool)
+            if causal:
+                kv_pos = c_idx * block_k + jnp.arange(block_k)[None, None, None, :]
+                valid = valid & (kv_pos <= q_pos)
+            logits = jnp.where(valid, logits, NEG_INF)
+
+            m_new = jnp.maximum(m_i, jnp.max(logits, axis=-1, keepdims=True))
+            p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
+            alpha = jnp.exp(m_i - m_new)
+            l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.einsum(
+                "bhsk,bhkd->bhsd", p, v_blk.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            return (acc, m_new, l_new), None
+
+        init = (
+            jnp.zeros((b, h, block_q, d), jnp.float32),
+            jnp.full((b, h, block_q, 1), NEG_INF, jnp.float32),
+            jnp.zeros((b, h, block_q, 1), jnp.float32),
         )
-        valid = m_blk[:, None, None, :].astype(bool)
-        if causal:
-            kv_pos = c_idx * block_k + jnp.arange(block_k)[None, None, None, :]
-            valid = valid & (kv_pos <= q_pos)
-        logits = jnp.where(valid, logits, NEG_INF)
-
-        m_new = jnp.maximum(m_i, jnp.max(logits, axis=-1, keepdims=True))
-        p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
-        alpha = jnp.exp(m_i - m_new)
-        l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.einsum(
-            "bhsk,bhkd->bhsd", p, v_blk.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
+        # Remat each chunk: without this the scan's backward saves every
+        # chunk's probability tile across every layer — at QVH scale
+        # that is hundreds of GB.  Recomputing a chunk forward is one
+        # small matmul.
+        (acc, _, l_i), _ = jax.lax.scan(
+            jax.checkpoint(step, prevent_cse=False),
+            init,
+            (jnp.arange(num_chunks), k_chunks, v_chunks, mask_chunks),
         )
-        return (acc, m_new, l_new), None
+        safe_l = jnp.where(l_i == 0, 1.0, l_i)
+        return (acc / safe_l).astype(q.dtype)
 
-    init = (
-        jnp.zeros((b, h, s, d), jnp.float32),
-        jnp.full((b, h, s, 1), NEG_INF, jnp.float32),
-        jnp.zeros((b, h, s, 1), jnp.float32),
-    )
-    # Remat each chunk: without this the scan's backward saves every
-    # chunk's (B,H,S,block_k) probability tile across every layer — at
-    # QVH scale that is hundreds of GB.  Recomputing a chunk forward is
-    # one small matmul.
-    (acc, _, l_i), _ = jax.lax.scan(
-        jax.checkpoint(step, prevent_cse=False),
-        init,
-        (jnp.arange(num_chunks), k_chunks, v_chunks, mask_chunks),
-    )
-    safe_l = jnp.where(l_i == 0, 1.0, l_i)
-    return (acc / safe_l).astype(q.dtype)
+    tiles = jax.lax.map(q_tile, (jnp.arange(num_q), q_tiles))  # (nq,B,H,bq,D)
+    out = tiles.transpose(1, 2, 0, 3, 4).reshape(b, h, s, d)
+    return out[:, :, :orig_s]
 
 
 def _flash_kernel(

@@ -94,3 +94,33 @@ def test_slot_reuse_after_completion(setup):
     out2 = engine.run_to_completion()
     assert out2[0].request_id == 11
     assert len(out2[0].token_ids) <= 3
+
+
+def test_serve_cli_end_to_end(tmp_path):
+    """The serving CLI (round-1 review: 'engine is an island') drives the
+    engine from annotations to parsed span records with latency stats."""
+    import json as _json
+
+    from mraudio_tpu.cli.serve import main
+
+    ann = str(tmp_path / "ann.jsonl")
+    with open(ann, "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({
+                "vid": f"v{i}", "qid": i, "query": "a person waves",
+                "duration": 60, "relevant_windows": [[5, 12]],
+            }) + "\n")
+    out = str(tmp_path / "serve.jsonl")
+    main([
+        "--annotation-file", ann,
+        "--video-source", "synthetic",
+        "--model-size", "tiny",
+        "--n-frms", "4",
+        "--slots", "2",
+        "--output-file", out,
+    ])
+    rows = [_json.loads(l) for l in open(out)]
+    assert len(rows) == 5
+    assert {r["qid"] for r in rows} == set(range(5))
+    for r in rows:
+        assert "pred_relevant_windows" in r and r["latency_s"] > 0
