@@ -178,17 +178,48 @@ def validate_time_budgets(tokenizer, cfg, max_seconds: int = 10_000) -> None:
         raise ValueError("; ".join(errors))
 
 
-def load_llama_tokenizer(path: str):
-    """HF LlamaTokenizer with the reference's special-token surgery
-    (``models/xinstructblip.py:140-144``)."""
-    from transformers import LlamaTokenizer
-
-    tok = LlamaTokenizer.from_pretrained(path, use_fast=False, truncation_side="left")
+def apply_llama_surgery(tok) -> "HFTokenizerWrapper":
+    """The reference's special-token surgery on any HF llama-family
+    tokenizer (``models/xinstructblip.py:140-144``): append ``[PAD]``
+    (growing the vocab by one, ``:154``) and force bos/eos/unk to
+    ``</s>``."""
     tok.add_special_tokens({"pad_token": "[PAD]"})
     tok.add_special_tokens({"bos_token": "</s>"})
     tok.add_special_tokens({"eos_token": "</s>"})
     tok.add_special_tokens({"unk_token": "</s>"})
+    if getattr(tok, "is_fast", False):
+        # A fast tokenizer bakes its BOS template into the backend; the
+        # reference's slow LlamaTokenizer re-derives specials from
+        # self.bos_token, so after the remap it prepends </s>.  Rewrite
+        # the template to reproduce that.
+        from tokenizers import processors
+
+        tok._tokenizer.post_processor = processors.TemplateProcessing(
+            single="</s> $A",
+            pair="</s> $A </s> $B",
+            special_tokens=[("</s>", tok.convert_tokens_to_ids("</s>"))],
+        )
     return HFTokenizerWrapper(tok)
+
+
+def load_llama_tokenizer(path: str):
+    """HF LlamaTokenizer with the reference's special-token surgery.
+    ``path`` may be a sentencepiece-backed repo dir (slow tokenizer) or
+    a ``tokenizer.json`` fast file."""
+    if path.endswith(".json"):
+        from transformers import PreTrainedTokenizerFast
+
+        tok = PreTrainedTokenizerFast(
+            tokenizer_file=path, bos_token="<s>", eos_token="</s>",
+            unk_token="<unk>", truncation_side="left",
+        )
+    else:
+        from transformers import LlamaTokenizer
+
+        tok = LlamaTokenizer.from_pretrained(
+            path, use_fast=False, truncation_side="left"
+        )
+    return apply_llama_surgery(tok)
 
 
 def load_bert_tokenizer(path: str = "bert-base-uncased"):
