@@ -147,6 +147,10 @@ class LlamaConfig(_ConfigBase):
     # decomposition).  Off by default — weight-only int8 keeps reference
     # (bitsandbytes) accuracy semantics; measurements in docs/BENCHMARKS.md.
     int8_dot: bool = False
+    # KV-cache storage: "none" keeps `dtype`; "int8" stores per-token
+    # per-head absmax-quantized values + fp32 scales — halves decode HBM
+    # reads and doubles the batch/slot count that fits beside the params.
+    kv_quant: str = "none"
     # rematerialize decoder blocks under grad (reference
     # gradient_checkpointing_enable, models/xinstructblip.py:157)
     grad_checkpoint: bool = False

@@ -95,13 +95,12 @@ class ContinuousBatcher:
     def _write_slot_fn(self, cache, one_cache, slot):
         out = []
         for layer, one in zip(cache, one_cache):
+            # copies every cache leaf (k/v, plus scales under kv_quant)
             out.append({
-                "k": jax.lax.dynamic_update_slice(
-                    layer["k"], one["k"], (slot, 0, 0, 0)
-                ),
-                "v": jax.lax.dynamic_update_slice(
-                    layer["v"], one["v"], (slot, 0, 0, 0)
-                ),
+                name: jax.lax.dynamic_update_slice(
+                    layer[name], one[name], (slot,) + (0,) * (layer[name].ndim - 1)
+                )
+                for name in layer
             })
         return out
 

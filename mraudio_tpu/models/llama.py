@@ -32,6 +32,16 @@ from mraudio_tpu.config import LlamaConfig, LoraConfig
 from mraudio_tpu.models.layers import NEG_INF, RMSNorm
 
 
+def quantize_kv(x: jax.Array):
+    """Per-(row, position, head) absmax int8 quantization of K/V.
+
+    Returns (int8 values, fp32 scales) with ``x ≈ q * scale[..., None]``."""
+    scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.round(x.astype(jnp.float32) / scale[..., None]).astype(jnp.int8)
+    return q, scale
+
+
 def rope_frequencies(head_dim: int, theta: float) -> jnp.ndarray:
     return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
 
@@ -172,20 +182,37 @@ class LlamaAttention(nn.Module):
             # this call's keys at [cache_index, cache_index + s) for every
             # row; a (B,)-shaped cache_index writes row b's single token at
             # its own column (continuous-batching decode, s == 1).
-            if getattr(cache_index, "ndim", 0) == 1:
-                max_len = cache["k"].shape[1]
-                col = jax.nn.one_hot(cache_index, max_len, dtype=bool)  # (B, max_len)
-                ck = jnp.where(
-                    col[:, :, None, None], k.astype(cache["k"].dtype), cache["k"]
-                )
-                cv = jnp.where(
-                    col[:, :, None, None], v.astype(cache["v"].dtype), cache["v"]
-                )
+            # With kv_quant="int8" the cache stores int8 values + per
+            # (row, position, head) fp32 scales — halves decode HBM reads
+            # and doubles how many slots fit next to the 7B weights.
+            quantized = "k_scale" in cache
+
+            def write(dst, val):
+                if getattr(cache_index, "ndim", 0) == 1:
+                    col = jax.nn.one_hot(cache_index, dst.shape[1], dtype=bool)
+                    col = col.reshape(col.shape + (1,) * (dst.ndim - 2))
+                    return jnp.where(col, val.astype(dst.dtype), dst)
+                idx = (0, cache_index) + (0,) * (dst.ndim - 2)
+                return jax.lax.dynamic_update_slice(dst, val.astype(dst.dtype), idx)
+
+            if quantized:
+                kq, ks = quantize_kv(k)
+                vq, vs = quantize_kv(v)
+                new_cache = {
+                    "k": write(cache["k"], kq),
+                    "v": write(cache["v"], vq),
+                    "k_scale": write(cache["k_scale"], ks),
+                    "v_scale": write(cache["v_scale"], vs),
+                }
+                dtype = jnp.dtype(cfg.dtype)
+                k_full = new_cache["k"].astype(dtype) * new_cache["k_scale"][..., None].astype(dtype)
+                v_full = new_cache["v"].astype(dtype) * new_cache["v_scale"][..., None].astype(dtype)
             else:
-                ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
-                cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
-            new_cache = {"k": ck, "v": cv}
-            k_full, v_full = ck, cv
+                new_cache = {
+                    "k": write(cache["k"], k),
+                    "v": write(cache["v"], v),
+                }
+                k_full, v_full = new_cache["k"], new_cache["v"]
         else:
             new_cache = None
             k_full, v_full = k, v
@@ -339,8 +366,20 @@ class LlamaModel(nn.Module):
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int) -> list:
-    """Preallocate a static-shape KV cache."""
+    """Preallocate a static-shape KV cache (int8 + scales when
+    ``cfg.kv_quant == "int8"``)."""
     shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.kv_quant == "int8":
+        sshape = shape[:-1]
+        return [
+            {
+                "k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(sshape, jnp.float32),
+                "v_scale": jnp.zeros(sshape, jnp.float32),
+            }
+            for _ in range(cfg.num_layers)
+        ]
     dtype = jnp.dtype(cfg.dtype)
     return [
         {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
