@@ -77,10 +77,10 @@ def chunked_attention(
         q32 = q_blk.astype(jnp.float32) * scale
         q_pos = (qb_idx * block_q
                  + jnp.arange(block_q)[None, None, :, None])  # (1,1,bq,1)
+        q_end = qb_idx * block_q + block_q - 1  # last query position
 
-        def step(carry, inputs):
+        def compute(carry, c_idx, k_blk, v_blk, m_blk):
             acc, m_i, l_i = carry
-            c_idx, k_blk, v_blk, m_blk = inputs
             logits = jnp.einsum(
                 "bhsd,bhkd->bhsk", q32, k_blk.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
@@ -99,7 +99,24 @@ def chunked_attention(
                 "bhsk,bhkd->bhsd", p, v_blk.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             )
-            return (acc, m_new, l_new), None
+            return acc, m_new, l_new
+
+        def step(carry, inputs):
+            c_idx, k_blk, v_blk, m_blk = inputs
+            if causal:
+                # Skip chunks entirely above the causal diagonal for this
+                # query tile — halves attention matmuls+exps at long S.
+                # lax.cond executes one branch on TPU and stays
+                # differentiable for the training path.
+                carry = jax.lax.cond(
+                    c_idx * block_k > q_end,
+                    lambda c: c,
+                    lambda c: compute(c, c_idx, k_blk, v_blk, m_blk),
+                    carry,
+                )
+            else:
+                carry = compute(carry, c_idx, k_blk, v_blk, m_blk)
+            return carry, None
 
         init = (
             jnp.zeros((b, h, block_q, d), jnp.float32),
