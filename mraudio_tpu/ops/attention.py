@@ -29,7 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "block_k", "block_q"))
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_k", "block_q", "causal_skip")
+)
 def chunked_attention(
     q: jax.Array,          # (B, H, S, D)
     k: jax.Array,          # (B, H, KV, D)
@@ -38,6 +40,7 @@ def chunked_attention(
     causal: bool = True,
     block_k: int = 512,
     block_q: int = 512,
+    causal_skip: bool = True,
 ) -> jax.Array:
     """Online-softmax attention in pure XLA: an outer ``lax.map`` over
     query tiles and an inner ``lax.scan`` over kv chunks with running
@@ -103,7 +106,7 @@ def chunked_attention(
 
         def step(carry, inputs):
             c_idx, k_blk, v_blk, m_blk = inputs
-            if causal:
+            if causal and causal_skip:
                 # Skip chunks entirely above the causal diagonal for this
                 # query tile — halves attention matmuls+exps at long S.
                 # lax.cond executes one branch on TPU and stays
