@@ -138,7 +138,16 @@ def chunked_attention(
         safe_l = jnp.where(l_i == 0, 1.0, l_i)
         return (acc / safe_l).astype(q.dtype)
 
-    tiles = jax.lax.map(q_tile, (jnp.arange(num_q), q_tiles))  # (nq,B,H,bq,D)
+    # lax.scan (not lax.map) over query tiles: scan's backward
+    # accumulates the shared k/v chunks' cotangents incrementally in the
+    # carry, where map's backward materializes a per-tile copy —
+    # a (nq, n_chunks, B, H, block_k, D) fp32 buffer (≈1 GB at QVH
+    # training shapes) that OOMed the full-size train step.
+    _, tiles = jax.lax.scan(
+        lambda carry, inputs: (carry, q_tile(inputs)),
+        None,
+        (jnp.arange(num_q), q_tiles),
+    )  # tiles: (nq, B, H, bq, D)
     out = tiles.transpose(1, 2, 0, 3, 4).reshape(b, h, s, d)
     return out[:, :, :orig_s]
 
