@@ -77,6 +77,7 @@ def main(argv=None):
     result = run_inference(
         cfg, model=model, params=params,
         output_file=args.output_file, batch_size=args.batch_size,
+        num_workers=args.num_workers,
     )
     print(f"wrote {len(result['records'])} predictions to {args.output_file} "
           f"({result['clips_per_sec']:.3f} clips/sec)")

@@ -71,6 +71,7 @@ def main(argv=None):
             save_freq=args.save_freq,
             max_epoch=args.max_epoch,
             batch_size=args.batch_size,
+            num_workers=args.num_workers,
             resume_ckpt_path=args.resume,
         ),
         llm_weights=args.model_path,

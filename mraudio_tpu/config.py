@@ -329,6 +329,9 @@ class TrainConfig(_ConfigBase):
     val_freq: int = 1
     save_freq: int = 1
     batch_size: int = 1
+    # prefetch threads for the loaders (the reference's --num-workers;
+    # threads not processes — decode releases the GIL in C++)
+    num_workers: int = 2
     seed: int = 42
     output_dir: str = "output"
     resume_ckpt_path: str = ""

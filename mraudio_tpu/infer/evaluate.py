@@ -47,6 +47,7 @@ def run_inference(
     annotations: list[dict] | None = None,
     output_file: str | None = None,
     batch_size: int = 2,
+    num_workers: int = 2,
 ) -> dict:
     """Returns {'records': [...], 'clips_per_sec': float}."""
     if model is None:
@@ -88,7 +89,9 @@ def run_inference(
         validate_time_budgets(model.llm_tokenizer, model.cfg, max_dur)
 
     dataset = MRDataset(cfg.data, annotations=annotations, split="eval")
-    loader = BatchLoader(dataset, batch_size, shuffle=False)
+    loader = BatchLoader(
+        dataset, batch_size, shuffle=False, num_threads=max(num_workers, 1)
+    )
 
     from mraudio_tpu.utils.profiling import StageTimes
 

@@ -70,20 +70,25 @@ def chunked_attention(
     num_q = s // block_q
 
     scale = 1.0 / math.sqrt(d)
-    k_chunks = k.reshape(b, h, num_chunks, block_k, d).transpose(2, 0, 1, 3, 4)
-    v_chunks = v.reshape(b, h, num_chunks, block_k, d).transpose(2, 0, 1, 3, 4)
-    mask_chunks = mask.reshape(b, num_chunks, block_k).transpose(1, 0, 2)
-    q_tiles = q.reshape(b, h, num_q, block_q, d).transpose(2, 0, 1, 3, 4)
 
-    def q_tile(inputs):
-        qb_idx, q_blk = inputs
+    # K/V/Q stay in their natural (B, H, S, D) layout; each loop body
+    # dynamic-slices its tile.  Pre-stacking chunks as scan xs makes the
+    # backward materialize a (num_q, num_chunks, B, H, block_k, D) fp32
+    # cotangent buffer (≈1 GB per layer at QVH training shapes — the
+    # round-2 full-size train OOM); sliced captures accumulate into
+    # K/V-shaped cotangents instead.
+    def q_tile(qb_idx):
+        q_blk = jax.lax.dynamic_slice_in_dim(q, qb_idx * block_q, block_q, 2)
         q32 = q_blk.astype(jnp.float32) * scale
         q_pos = (qb_idx * block_q
                  + jnp.arange(block_q)[None, None, :, None])  # (1,1,bq,1)
         q_end = qb_idx * block_q + block_q - 1  # last query position
 
-        def compute(carry, c_idx, k_blk, v_blk, m_blk):
+        def compute(carry, c_idx):
             acc, m_i, l_i = carry
+            k_blk = jax.lax.dynamic_slice_in_dim(k, c_idx * block_k, block_k, 2)
+            v_blk = jax.lax.dynamic_slice_in_dim(v, c_idx * block_k, block_k, 2)
+            m_blk = jax.lax.dynamic_slice_in_dim(mask, c_idx * block_k, block_k, 1)
             logits = jnp.einsum(
                 "bhsd,bhkd->bhsk", q32, k_blk.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
@@ -104,8 +109,7 @@ def chunked_attention(
             )
             return acc, m_new, l_new
 
-        def step(carry, inputs):
-            c_idx, k_blk, v_blk, m_blk = inputs
+        def step(carry, c_idx):
             if causal and causal_skip:
                 # Skip chunks entirely above the causal diagonal for this
                 # query tile — halves attention matmuls+exps at long S.
@@ -114,11 +118,11 @@ def chunked_attention(
                 carry = jax.lax.cond(
                     c_idx * block_k > q_end,
                     lambda c: c,
-                    lambda c: compute(c, c_idx, k_blk, v_blk, m_blk),
+                    lambda c: compute(c, c_idx),
                     carry,
                 )
             else:
-                carry = compute(carry, c_idx, k_blk, v_blk, m_blk)
+                carry = compute(carry, c_idx)
             return carry, None
 
         init = (
@@ -133,20 +137,15 @@ def chunked_attention(
         (acc, _, l_i), _ = jax.lax.scan(
             jax.checkpoint(step, prevent_cse=False),
             init,
-            (jnp.arange(num_chunks), k_chunks, v_chunks, mask_chunks),
+            jnp.arange(num_chunks),
         )
         safe_l = jnp.where(l_i == 0, 1.0, l_i)
         return (acc / safe_l).astype(q.dtype)
 
-    # lax.scan (not lax.map) over query tiles: scan's backward
-    # accumulates the shared k/v chunks' cotangents incrementally in the
-    # carry, where map's backward materializes a per-tile copy —
-    # a (nq, n_chunks, B, H, block_k, D) fp32 buffer (≈1 GB at QVH
-    # training shapes) that OOMed the full-size train step.
     _, tiles = jax.lax.scan(
-        lambda carry, inputs: (carry, q_tile(inputs)),
+        lambda carry, qb_idx: (carry, q_tile(qb_idx)),
         None,
-        (jnp.arange(num_q), q_tiles),
+        jnp.arange(num_q),
     )  # tiles: (nq, B, H, bq, D)
     out = tiles.transpose(1, 2, 0, 3, 4).reshape(b, h, s, d)
     return out[:, :, :orig_s]

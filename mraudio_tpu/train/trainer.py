@@ -129,10 +129,12 @@ class Trainer:
         self.train_loader = BatchLoader(
             train_dataset, tc.batch_size, shuffle=True, seed=tc.seed,
             shard_index=shard_index, shard_count=shard_count, drop_last=True,
+            num_threads=max(tc.num_workers, 1),
         )
         self.val_loader = BatchLoader(
             val_dataset, tc.batch_size, shuffle=False,
             shard_index=shard_index, shard_count=shard_count,
+            num_threads=max(tc.num_workers, 1),
         )
 
         self.steps_per_epoch = max(len(self.train_loader), 1)
