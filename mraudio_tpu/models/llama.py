@@ -204,23 +204,33 @@ class LlamaAttention(nn.Module):
                     "k_scale": write(cache["k_scale"], ks),
                     "v_scale": write(cache["v_scale"], vs),
                 }
-                dtype = jnp.dtype(cfg.dtype)
-                k_full = new_cache["k"].astype(dtype) * new_cache["k_scale"][..., None].astype(dtype)
-                v_full = new_cache["v"].astype(dtype) * new_cache["v_scale"][..., None].astype(dtype)
+                # Do NOT dequantize the whole cache here: decode steps
+                # consume the int8 tensors directly (scales folded into
+                # the logits/probs below), keeping per-step HBM reads at
+                # the int8 byte rate — materializing a bf16 copy each
+                # step costs more than the quantization saves.
+                k_full, v_full = new_cache["k"], new_cache["v"]
+                k_scale, v_scale = new_cache["k_scale"], new_cache["v_scale"]
             else:
                 new_cache = {
                     "k": write(cache["k"], k),
                     "v": write(cache["v"], v),
                 }
                 k_full, v_full = new_cache["k"], new_cache["v"]
+                k_scale = v_scale = None
         else:
             new_cache = None
             k_full, v_full = k, v
+            quantized = False
+            k_scale = v_scale = None
 
         if kv_h != h:
             rep = h // kv_h
             k_full = jnp.repeat(k_full, rep, axis=2)
             v_full = jnp.repeat(v_full, rep, axis=2)
+            if quantized:
+                k_scale = jnp.repeat(k_scale, rep, axis=2)
+                v_scale = jnp.repeat(v_scale, rep, axis=2)
 
         # Memory-efficient attention for multi-token calls
         # (prefill/training); decode steps use the dense path.
@@ -233,9 +243,15 @@ class LlamaAttention(nn.Module):
         )
         if use_streaming and impl == "pallas" and jax.default_backend() != "tpu":
             impl = "chunked"  # Mosaic kernels only compile for real TPUs
+        dtype = jnp.dtype(cfg.dtype)
         if use_streaming:
             from mraudio_tpu.ops.attention import chunked_attention, flash_attention
 
+            if quantized:
+                # Prefill happens once per sequence: a one-shot dequant
+                # is cheap relative to the attention pass itself.
+                k_full = k_full.astype(dtype) * k_scale[..., None].astype(dtype)
+                v_full = v_full.astype(dtype) * v_scale[..., None].astype(dtype)
             fn = flash_attention if impl == "pallas" else chunked_attention
             out = fn(
                 q.transpose(0, 2, 1, 3),
@@ -246,11 +262,21 @@ class LlamaAttention(nn.Module):
             ).transpose(0, 2, 1, 3)
         else:
             logits = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k_full, preferred_element_type=jnp.float32
+                "bqhd,bkhd->bhqk", q, k_full.astype(q.dtype),
+                preferred_element_type=jnp.float32,
             ) * (d ** -0.5)
+            if quantized:
+                # Fold the per-(row, position, head) K scale into the
+                # logits instead of dequantizing the cache: XLA fuses the
+                # int8->bf16 convert into the dot's operand read.
+                logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, :]
             logits = jnp.where(mask, logits, NEG_INF)
-            probs = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v_full)
+            probs = jax.nn.softmax(logits, axis=-1)
+            if quantized:
+                probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, :]
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd", probs.astype(dtype), v_full.astype(dtype)
+            )
         out = out.reshape(b, s, h * d)
         out = lin("o_proj", cfg.hidden_size, True)(out, deterministic)
         return out, new_cache
