@@ -252,13 +252,23 @@ class LlamaAttention(nn.Module):
                 # is cheap relative to the attention pass itself.
                 k_full = k_full.astype(dtype) * k_scale[..., None].astype(dtype)
                 v_full = v_full.astype(dtype) * v_scale[..., None].astype(dtype)
-            fn = flash_attention if impl == "pallas" else chunked_attention
+            if impl == "pallas":
+                fn = flash_attention
+                extra = {}
+            else:
+                fn = chunked_attention
+                # Generate prefill (cache present) unrolls the query
+                # tiles — static causal bounds measured 24% faster on
+                # v5e; the training path (no cache) keeps the scanned
+                # outer loop with the proven backward memory profile.
+                extra = {"unroll_q": cache is not None}
             out = fn(
                 q.transpose(0, 2, 1, 3),
                 k_full.transpose(0, 2, 1, 3),
                 v_full.transpose(0, 2, 1, 3),
                 kv_valid,
                 causal=True,
+                **extra,
             ).transpose(0, 2, 1, 3)
         else:
             logits = jnp.einsum(

@@ -30,7 +30,8 @@ NEG_INF = -1e30
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "block_k", "block_q", "causal_skip")
+    jax.jit,
+    static_argnames=("causal", "block_k", "block_q", "causal_skip", "unroll_q"),
 )
 def chunked_attention(
     q: jax.Array,          # (B, H, S, D)
@@ -41,6 +42,7 @@ def chunked_attention(
     block_k: int = 512,
     block_q: int = 512,
     causal_skip: bool = True,
+    unroll_q: bool = False,
 ) -> jax.Array:
     """Online-softmax attention in pure XLA: an outer ``lax.map`` over
     query tiles and an inner ``lax.scan`` over kv chunks with running
@@ -50,7 +52,15 @@ def chunked_attention(
     (B, H, S, block_k) fp32 logits buffer = GBs at that shape).  Same
     O(S·D) HBM footprint as the Pallas kernel, compiled through the
     ordinary XLA path — the portable default (the Mosaic custom-call
-    path is not available behind every TPU frontend)."""
+    path is not available behind every TPU frontend).
+
+    ``unroll_q=True`` unrolls the query tiles at trace time, giving each
+    tile a *static* kv-chunk upper bound so above-diagonal work is
+    structurally absent from the HLO (vs the ``lax.cond`` skip whose win
+    depends on the scheduler) — measured 24% faster at QVH prefill shape
+    on v5e (docs/BENCHMARKS.md).  The generate prefill uses it; training
+    keeps the scanned outer loop, whose backward has the proven memory
+    profile at full-size shapes."""
     b, h, s, d = q.shape
     orig_s = s
     kv_len = k.shape[2]
@@ -77,7 +87,7 @@ def chunked_attention(
     # cotangent buffer (≈1 GB per layer at QVH training shapes — the
     # round-2 full-size train OOM); sliced captures accumulate into
     # K/V-shaped cotangents instead.
-    def q_tile(qb_idx):
+    def q_tile(qb_idx, static_upper=None):
         q_blk = jax.lax.dynamic_slice_in_dim(q, qb_idx * block_q, block_q, 2)
         q32 = q_blk.astype(jnp.float32) * scale
         q_pos = (qb_idx * block_q
@@ -110,7 +120,10 @@ def chunked_attention(
             return acc, m_new, l_new
 
         def step(carry, c_idx):
-            if causal and causal_skip:
+            if static_upper is not None:
+                # the chunk list is already causally clipped
+                carry = compute(carry, c_idx)
+            elif causal and causal_skip:
                 # Skip chunks entirely above the causal diagonal for this
                 # query tile — halves attention matmuls+exps at long S.
                 # lax.cond executes one branch on TPU and stays
@@ -137,10 +150,22 @@ def chunked_attention(
         (acc, _, l_i), _ = jax.lax.scan(
             jax.checkpoint(step, prevent_cse=False),
             init,
-            jnp.arange(num_chunks),
+            jnp.arange(num_chunks if static_upper is None else static_upper),
         )
         safe_l = jnp.where(l_i == 0, 1.0, l_i)
         return (acc / safe_l).astype(q.dtype)
+
+    if unroll_q:
+        tiles = []
+        for qb in range(num_q):
+            if causal:
+                upper = min((qb * block_q + block_q + block_k - 1) // block_k,
+                            num_chunks)
+            else:
+                upper = num_chunks
+            tiles.append(q_tile(qb, static_upper=max(upper, 1)))
+        out = jnp.concatenate(tiles, axis=2)
+        return out[:, :, :orig_s]
 
     _, tiles = jax.lax.scan(
         lambda carry, qb_idx: (carry, q_tile(qb_idx)),

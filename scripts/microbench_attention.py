@@ -127,7 +127,7 @@ def static_fullk_attention(q, k, v, mask, block_q=512):
     return out[:, :, :orig_s]
 
 
-REPEAT = 8
+REPEAT = 4
 
 
 def timeit(fn, args, steps):
@@ -161,6 +161,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--seq", type=int, default=5353)
+    ap.add_argument("--variants", default="",
+                    help="comma-separated substring filter on variant names")
     args = ap.parse_args()
 
     b, h, s, d = args.batch, 32, args.seq, 128
@@ -181,6 +183,11 @@ def main():
         "static_fullk(512)": lambda q: static_fullk_attention(q, k, v, mask),
         "static_fullk(256)": lambda q: static_fullk_attention(q, k, v, mask, block_q=256),
     }
+
+    if args.variants:
+        keys = [k.strip() for k in args.variants.split(",") if k.strip()]
+        variants = {n: f for n, f in variants.items()
+                    if any(k in n for k in keys)}
 
     ref = None
     for name, fn in variants.items():

@@ -105,6 +105,62 @@ def test_chunked_matches_reference(s, kv_extra):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("s,kv_extra", [(256, 0), (200, 56), (64, 64)])
+def test_chunked_unroll_matches_reference(s, kv_extra):
+    """The statically-unrolled q-tile path (generate prefill) is exact."""
+    from mraudio_tpu.ops.attention import chunked_attention
+
+    rng = np.random.default_rng(7)
+    b, h, d = 2, 3, 32
+    kv = s + kv_extra
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, kv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, kv, d)), jnp.float32)
+    mask = np.ones((b, kv), np.int32)
+    mask[0, 10:20] = 0
+    mask[1, :7] = 0
+    mask[:, s:] = 0
+    mask = jnp.asarray(mask)
+
+    out = chunked_attention(q, k, v, mask, causal=True, block_k=64,
+                            unroll_q=True)
+    scan = chunked_attention(q, k, v, mask, causal=True, block_k=64)
+    ref = _reference(q, k[:, :, :s], v[:, :, :s], mask[:, :s], causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # bit-identical to the scanned path (same tile math, same order)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(scan))
+
+
+def test_chunked_unroll_non_causal_and_grads():
+    from mraudio_tpu.ops.attention import chunked_attention
+
+    rng = np.random.default_rng(8)
+    b, h, s, d = 1, 2, 96, 32
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    mask = jnp.ones((b, s), jnp.int32)
+
+    out = chunked_attention(q, k, v, mask, causal=False, block_k=32,
+                            block_q=32, unroll_q=True)
+    ref = _reference(q, k, v, mask, causal=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def loss(fn_kwargs):
+        def f(args):
+            q, k, v = args
+            o = chunked_attention(q, k, v, mask, causal=True, block_k=32,
+                                  block_q=32, **fn_kwargs)
+            return jnp.sum(o * o)
+        return jax.grad(f)((q, k, v))
+
+    g_unroll = loss({"unroll_q": True})
+    g_scan = loss({})
+    for gu, gs in zip(g_unroll, g_scan):
+        np.testing.assert_allclose(np.asarray(gu), np.asarray(gs),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_chunked_equals_pallas_interpret():
     from mraudio_tpu.ops.attention import chunked_attention
 
