@@ -61,8 +61,12 @@ def make_profile(name: str):
         return model, data, 2, 2
 
     if name == "full":
+        # MRAUDIO_BENCH_KV_QUANT=int8 halves KV-cache bytes (the B>=4
+        # enabler on a 16 GB chip; decode reads the int8 tensors
+        # directly — scales fold into logits/probs).
+        kv_quant = os.environ.get("MRAUDIO_BENCH_KV_QUANT", "none")
         model = XInstructBLIPConfig(
-            llm=LlamaConfig(quantization="int8"),
+            llm=LlamaConfig(quantization="int8", kv_quant=kv_quant),
         )
         data = DataConfig.for_dataset("QVH").replace(video_source="synthetic")
         return model, data, 2, 2

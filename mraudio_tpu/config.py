@@ -71,6 +71,13 @@ class ViTConfig(_ConfigBase):
     # rematerialize blocks under grad (reference use_grad_checkpoint,
     # models/xinstructblip.py:83)
     grad_checkpoint: bool = False
+    # Temporal-residual encoding (ResidualViT-style, opt-in): every
+    # keyframe_interval-th frame runs the full transformer; in-between
+    # frames run it only on their residual_tokens most-changed patches
+    # and inherit keyframe features elsewhere.  1 = off (exact,
+    # reference-parity behavior).
+    keyframe_interval: int = 1
+    residual_tokens: int = 64
 
     @property
     def num_patches(self) -> int:

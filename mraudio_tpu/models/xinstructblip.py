@@ -338,7 +338,7 @@ class XInstructBLIP:
             b, t = video_u8.shape[:2]
             frames = normalize_frames(video_u8, dtype=jnp.dtype(cfg.vit.dtype))
             folded = frames.reshape((b * t,) + frames.shape[2:])
-            feats = self.vit.apply({"params": params["vit"]}, folded)
+            feats = self.vit.apply({"params": params["vit"]}, folded, n_frms=t)
             feats = self.video_ln.apply({"params": params["video_ln"]}, feats)
             out["video"] = self._qformer_project(
                 params, "video", feats, b, t, qformer_ids, qformer_mask

@@ -53,10 +53,25 @@ def pipeline_flops(model_cfg, audio_cfg, n_frms: int, batch: int,
 
     # --- frame encoder: n_frms folded frames per sample -----------------
     p_tok = vit.num_patches + (1 if vit.use_class_token else 0)
-    f_vit = batch * n_frms * (
-        transformer_flops(p_tok, vit.width, vit.depth, vit.mlp_dim)
-        + 2 * p_tok * (vit.patch_size ** 2 * 3) * vit.width     # patch embed
-    )
+    f_embed = 2 * p_tok * (vit.patch_size ** 2 * 3) * vit.width  # per frame
+    if vit.keyframe_interval > 1 and n_frms > 1:
+        # temporal-residual: full blocks on keyframes, top-R subset on
+        # the rest (patch embed still runs on every frame)
+        nk = len(range(0, n_frms, vit.keyframe_interval))
+        r_tok = min(vit.residual_tokens, vit.num_patches) + (
+            1 if vit.use_class_token else 0
+        )
+        f_vit = batch * (
+            nk * transformer_flops(p_tok, vit.width, vit.depth, vit.mlp_dim)
+            + (n_frms - nk)
+            * transformer_flops(r_tok, vit.width, vit.depth, vit.mlp_dim)
+            + n_frms * f_embed
+        )
+    else:
+        f_vit = batch * n_frms * (
+            transformer_flops(p_tok, vit.width, vit.depth, vit.mlp_dim)
+            + f_embed
+        )
 
     # --- audio encoder: n_frms fbank chunks per sample ------------------
     a_tok = (audio_cfg.mel_frames_per_chunk // beats.patch_stride) * (
