@@ -217,6 +217,12 @@ class XInstructBLIPConfig(_ConfigBase):
     # HL-mAP).  Capability beyond the reference, whose models never emit
     # saliency even though its scorer supports it (eval/mr_eval.py:396-406).
     saliency_head: bool = False
+    # Frame-encoder batching: process this many clips' frames per ViT
+    # pass (lax.map over clip groups).  Bounds the encoder's fp32
+    # attention-logits temp to one group — at QVH full size the whole
+    # B=2 fold's (120,16,257,257) fp32 logits alone are 2x742 MB, which
+    # is what OOMs 16 GB chips at B>=2.  0 = single pass over the fold.
+    encode_clips_per_pass: int = 1
     vit: ViTConfig = field(default_factory=ViTConfig)
     beats: BeatsConfig = field(default_factory=BeatsConfig)
     qformer: QFormerConfig = field(default_factory=QFormerConfig)

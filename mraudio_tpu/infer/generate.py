@@ -54,11 +54,17 @@ def greedy_generate(
     k_idx = jnp.arange(max_len)[None, :]
     causal = (k_idx <= q_idx)[None, None]                      # (1,1,S,max)
     pad = full_mask[:, None, None, :].astype(bool)             # (B,1,1,max)
-    logits, cache = model.apply(
+    # return_hidden: the full-sequence lm_head would materialize a
+    # (B, S, 32001) logits buffer (657 MB at QVH shape) and burn ~2.8
+    # TFLOP — only the last position seeds the decode.
+    hidden, cache = model.apply(
         params, prefix_embeds, causal & pad, positions, cache=cache, cache_index=0,
-        kv_valid=full_mask, causal=True,
+        kv_valid=full_mask, causal=True, return_hidden=True,
     )
-    next_id = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)  # (B,)
+    last_logits = model.apply(
+        params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]
+    ).astype(jnp.float32)
+    next_id = jnp.argmax(last_logits[:, -1], axis=-1).astype(jnp.int32)  # (B,)
 
     # while_loop so the whole batch stops as soon as every row has hit
     # EOS — real spans are ~10 tokens against a 64-token budget, so the

@@ -85,11 +85,16 @@ class ContinuousBatcher:
         pmask_full = jnp.zeros((1, self.max_len), jnp.int32).at[:, :s].set(prefix_mask)
         attend = ((k_idx <= q_idx)[None, None]) & pmask_full[:, None, None, :].astype(bool)
         cache = init_cache(self.model.cfg, 1, self.max_len)
-        logits, cache = self.model.apply(
+        # return_hidden + last-position lm_head: the full-sequence vocab
+        # logits are never read past [:, -1] (see infer/generate.py).
+        hidden, cache = self.model.apply(
             params, embeds, attend, positions, cache=cache, cache_index=0,
-            kv_valid=pmask_full, causal=True,
+            kv_valid=pmask_full, causal=True, return_hidden=True,
         )
-        next_id = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        last_logits = self.model.apply(
+            params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]
+        ).astype(jnp.float32)
+        next_id = jnp.argmax(last_logits[:, -1], axis=-1).astype(jnp.int32)
         return cache, next_id[0], positions[0, -1]
 
     def _write_slot_fn(self, cache, one_cache, slot):

@@ -47,14 +47,22 @@ def rope_frequencies(head_dim: int, theta: float) -> jnp.ndarray:
 
 
 def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
-    """x: (B, S, H, D); positions: (B, S) int32."""
+    """x: (B, S, H, D); positions: (B, S) int32.
+
+    Angles/cos/sin are computed in f32 (they are (B, S, 1, D/2) — tiny),
+    then the rotation itself runs in ``x.dtype`` — exactly HF's
+    ``apply_rotary_pos_emb`` semantics (cos/sin cast to the hidden
+    dtype, products in bf16).  Never upcast the (B, S, H, D) activation:
+    a full-sequence f32 copy of it (167 MB at QVH prefill shape) is what
+    repeatedly OOMed the B=2 full-size generate graph."""
     freqs = rope_frequencies(x.shape[-1], theta)  # (D/2,)
     angles = positions[..., None].astype(jnp.float32) * freqs  # (B, S, D/2)
-    cos = jnp.cos(angles)[:, :, None, :]
-    sin = jnp.sin(angles)[:, :, None, :]
-    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
-    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
-    return out.astype(x.dtype)
+    cos = jnp.cos(angles)[:, :, None, :].astype(x.dtype)
+    sin = jnp.sin(angles)[:, :, None, :].astype(x.dtype)
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
 
 
 class LlamaLinear(nn.Module):
@@ -247,29 +255,44 @@ class LlamaAttention(nn.Module):
         if use_streaming:
             from mraudio_tpu.ops.attention import chunked_attention, flash_attention
 
-            if quantized:
-                # Prefill happens once per sequence: a one-shot dequant
-                # is cheap relative to the attention pass itself.
-                k_full = k_full.astype(dtype) * k_scale[..., None].astype(dtype)
-                v_full = v_full.astype(dtype) * v_scale[..., None].astype(dtype)
             if impl == "pallas":
                 fn = flash_attention
                 extra = {}
+                if quantized:
+                    # The Mosaic kernel takes bf16 K/V; one-shot dequant.
+                    k_full = k_full.astype(dtype) * k_scale[..., None].astype(dtype)
+                    v_full = v_full.astype(dtype) * v_scale[..., None].astype(dtype)
             else:
                 fn = chunked_attention
                 # Generate prefill (cache present) unrolls the query
                 # tiles — static causal bounds measured 24% faster on
                 # v5e; the training path (no cache) keeps the scanned
                 # outer loop with the proven backward memory profile.
-                extra = {"unroll_q": cache is not None}
-            out = fn(
-                q.transpose(0, 2, 1, 3),
-                k_full.transpose(0, 2, 1, 3),
-                v_full.transpose(0, 2, 1, 3),
-                kv_valid,
-                causal=True,
-                **extra,
-            ).transpose(0, 2, 1, 3)
+                # kv_bshd/q_bshd: K/V stay in the cache's (B, KV, H, D)
+                # layout and q/out in the decoder's natural (B, S, H, D)
+                # — the kernel transposes 2 MB chunk slices instead of
+                # materializing four full-sequence layout copies per
+                # layer.
+                extra = {"unroll_q": cache is not None, "kv_bshd": True,
+                         "q_bshd": True}
+                if quantized:
+                    # Feed the int8 cache directly; the kernel dequants
+                    # 2 MB tiles (a full-cache bf16 dequant here costs
+                    # per-layer (B, H, KV, D) temps that cancel the int8
+                    # storage saving).
+                    extra["k_scale"] = k_scale
+                    extra["v_scale"] = v_scale
+            if impl == "pallas":
+                out = fn(
+                    q.transpose(0, 2, 1, 3),
+                    k_full.transpose(0, 2, 1, 3),
+                    v_full.transpose(0, 2, 1, 3),
+                    kv_valid,
+                    causal=True,
+                    **extra,
+                ).transpose(0, 2, 1, 3)
+            else:
+                out = fn(q, k_full, v_full, kv_valid, causal=True, **extra)
         else:
             logits = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k_full.astype(q.dtype),

@@ -337,8 +337,22 @@ class XInstructBLIP:
         if "video" in cfg.modalities:
             b, t = video_u8.shape[:2]
             frames = normalize_frames(video_u8, dtype=jnp.dtype(cfg.vit.dtype))
-            folded = frames.reshape((b * t,) + frames.shape[2:])
-            feats = self.vit.apply({"params": params["vit"]}, folded, n_frms=t)
+            gsize = cfg.encode_clips_per_pass
+            if gsize and b > gsize and b % gsize == 0:
+                # One ViT pass per clip group (lax.map): bounds the
+                # encoder's fp32 logits temp to gsize*t frames instead of
+                # the whole fold (see config.encode_clips_per_pass).
+                groups = frames.reshape((b // gsize, gsize * t) + frames.shape[2:])
+                feats = jax.lax.map(
+                    lambda g: self.vit.apply(
+                        {"params": params["vit"]}, g, n_frms=t
+                    ),
+                    groups,
+                )
+                feats = feats.reshape((b * t,) + feats.shape[2:])
+            else:
+                folded = frames.reshape((b * t,) + frames.shape[2:])
+                feats = self.vit.apply({"params": params["vit"]}, folded, n_frms=t)
             feats = self.video_ln.apply({"params": params["video_ln"]}, feats)
             out["video"] = self._qformer_project(
                 params, "video", feats, b, t, qformer_ids, qformer_mask
@@ -347,8 +361,20 @@ class XInstructBLIP:
         if "audio" in cfg.modalities:
             fbank = beats_frontend(audio_wave, self.audio_cfg, n_frms)
             b, t = fbank.shape[:2]
-            folded = fbank.reshape((b * t,) + fbank.shape[2:])
-            feats = self.beats.apply({"params": params["beats"]}, folded)
+            gsize = cfg.encode_clips_per_pass
+            if gsize and b > gsize and b % gsize == 0:
+                # Same per-clip-group folding as the video branch: the
+                # BEATs fold's (B*T, 12, 256, 256) fp32 logits are the
+                # next-largest temp after the ViT's.
+                groups = fbank.reshape((b // gsize, gsize * t) + fbank.shape[2:])
+                feats = jax.lax.map(
+                    lambda g: self.beats.apply({"params": params["beats"]}, g),
+                    groups,
+                )
+                feats = feats.reshape((b * t,) + feats.shape[2:])
+            else:
+                folded = fbank.reshape((b * t,) + fbank.shape[2:])
+                feats = self.beats.apply({"params": params["beats"]}, folded)
             feats = self.audio_ln.apply({"params": params["audio_ln"]}, feats)
             out["audio"] = self._qformer_project(
                 params, "audio", feats, b, t, qformer_ids, qformer_mask

@@ -31,18 +31,24 @@ NEG_INF = -1e30
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "block_k", "block_q", "causal_skip", "unroll_q"),
+    static_argnames=("causal", "block_k", "block_q", "causal_skip", "unroll_q",
+                     "kv_bshd", "q_bshd"),
 )
 def chunked_attention(
-    q: jax.Array,          # (B, H, S, D)
-    k: jax.Array,          # (B, H, KV, D)
-    v: jax.Array,          # (B, H, KV, D)
+    q: jax.Array,          # (B, H, S, D); (B, S, H, D) with q_bshd=True
+    k: jax.Array,          # (B, H, KV, D) — bf16, or int8 with k_scale;
+                           # (B, KV, H, D) cache layout with kv_bshd=True
+    v: jax.Array,          # like k
     mask: jax.Array,       # (B, KV) {0,1} validity
     causal: bool = True,
     block_k: int = 512,
     block_q: int = 512,
     causal_skip: bool = True,
     unroll_q: bool = False,
+    k_scale: jax.Array | None = None,   # int8-KV dequant scales
+    v_scale: jax.Array | None = None,
+    kv_bshd: bool = False,
+    q_bshd: bool = False,
 ) -> jax.Array:
     """Online-softmax attention in pure XLA: an outer ``lax.map`` over
     query tiles and an inner ``lax.scan`` over kv chunks with running
@@ -60,70 +66,187 @@ def chunked_attention(
     depends on the scheduler) — measured 24% faster at QVH prefill shape
     on v5e (docs/BENCHMARKS.md).  The generate prefill uses it; training
     keeps the scanned outer loop, whose backward has the proven memory
-    profile at full-size shapes."""
-    b, h, s, d = q.shape
+    profile at full-size shapes.
+
+    ``k_scale``/``v_scale`` enable the int8 KV cache to be consumed
+    *directly* (per-tile dequant of 2 MB slices): a one-shot full-cache
+    dequant before the call costs per-layer (B, H, KV, D) bf16 temps
+    that give back everything the int8 storage saved.  K's scale folds
+    into the f32 logits (exact — it is per kv row), V's into the
+    probabilities before the PV matmul.
+
+    ``kv_bshd=True`` takes K/V in the KV cache's native (B, KV, H, D)
+    layout (scales as (B, KV, H)): only the 2 MB per-chunk slices get
+    transposed inside the dot, instead of two full-cache (B, H, KV, D)
+    layout copies per layer living across the whole attention.
+    ``q_bshd=True`` does the same for q and the output (both stay
+    (B, S, H, D) — the decoder's natural activation layout)."""
+    if q_bshd:
+        b, s, h, d = q.shape
+    else:
+        b, h, s, d = q.shape
     orig_s = s
-    kv_len = k.shape[2]
-    pad_k = (-kv_len) % block_k
-    if pad_k:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
-        mask = jnp.pad(mask, ((0, 0), (0, pad_k)))
-        kv_len += pad_k
-    num_chunks = kv_len // block_k
-
-    block_q = min(block_q, max(s, 1))
-    pad_q = (-s) % block_q
-    if pad_q:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
-        s += pad_q
-    num_q = s // block_q
-
+    kv_axis = 1 if kv_bshd else 2
+    kv_len = k.shape[kv_axis]
     scale = 1.0 / math.sqrt(d)
 
-    # K/V/Q stay in their natural (B, H, S, D) layout; each loop body
+    # K/V/Q stay in their natural (B, H, S, D) layout; each block
     # dynamic-slices its tile.  Pre-stacking chunks as scan xs makes the
     # backward materialize a (num_q, num_chunks, B, H, block_k, D) fp32
     # cotangent buffer (≈1 GB per layer at QVH training shapes — the
     # round-2 full-size train OOM); sliced captures accumulate into
     # K/V-shaped cotangents instead.
-    def q_tile(qb_idx, static_upper=None):
-        q_blk = jax.lax.dynamic_slice_in_dim(q, qb_idx * block_q, block_q, 2)
-        q32 = q_blk.astype(jnp.float32) * scale
+    def attend(carry, q_blk, q_pos, kv_start, blk, min_kv=0):
+        """One (q tile × kv block) online-softmax update.  ``kv_start``
+        may be traced (scan path) or a static int (unroll tail);
+        ``blk`` is always static.  ``min_kv`` masks kv rows already
+        covered by earlier full chunks (the unroll path's overlapping
+        tail block)."""
+        acc, m_i, l_i = carry
+        k_blk = jax.lax.dynamic_slice_in_dim(k, kv_start, blk, kv_axis)
+        v_blk = jax.lax.dynamic_slice_in_dim(v, kv_start, blk, kv_axis)
+        m_blk = jax.lax.dynamic_slice_in_dim(mask, kv_start, blk, 1)
+        kv_spec = "bkhd" if kv_bshd else "bhkd"
+        q_spec = "bshd" if q_bshd else "bhsd"
+        # Native-dtype operands + preferred_element_type=f32: the MXU
+        # multiplies bf16 inputs exactly into f32 accumulators, so this
+        # equals upcasting first — but an explicit per-tile .astype(f32)
+        # on slices of the same array gets CSE-hoisted by XLA into one
+        # full-(B,H,S,D) f32 convert (167 MB at QVH prefill shape; the
+        # round-2 B=2 OOM).  Scale applies to the f32 logits, not the
+        # bf16 operands, for exactness.
+        logits = jnp.einsum(
+            f"{q_spec},{kv_spec}->bhsk", q_blk, k_blk.astype(q_blk.dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if k_scale is not None:
+            ks_blk = jax.lax.dynamic_slice_in_dim(
+                k_scale, kv_start, blk, 1 if kv_bshd else 2
+            )
+            if kv_bshd:
+                ks_blk = ks_blk.transpose(0, 2, 1)
+            logits = logits * ks_blk[:, :, None, :]
+        kv_pos = kv_start + jnp.arange(blk)[None, None, None, :]
+        valid = m_blk[:, None, None, :].astype(bool)
+        if min_kv:
+            valid = valid & (kv_pos >= min_kv)
+        if causal:
+            valid = valid & (kv_pos <= q_pos)
+        logits = jnp.where(valid, logits, NEG_INF)
+
+        m_new = jnp.maximum(m_i, jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
+        if v_scale is not None:
+            vs_blk = jax.lax.dynamic_slice_in_dim(
+                v_scale, kv_start, blk, 1 if kv_bshd else 2
+            )
+            if kv_bshd:
+                vs_blk = vs_blk.transpose(0, 2, 1)
+            p = p * vs_blk[:, :, None, :]
+        pv_dtype = q_blk.dtype
+        acc = acc * alpha + jnp.einsum(
+            f"bhsk,{kv_spec}->bhsd", p.astype(pv_dtype), v_blk.astype(pv_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    def finish(carry, q_blk):
+        acc, _, l_i = carry              # acc: (B, H, bq, D)
+        safe_l = jnp.where(l_i == 0, 1.0, l_i)
+        out = (acc / safe_l).astype(q_blk.dtype)
+        return out.transpose(0, 2, 1, 3) if q_bshd else out
+
+    def init_carry(bq):
+        return (
+            jnp.zeros((b, h, bq, d), jnp.float32),
+            jnp.full((b, h, bq, 1), NEG_INF, jnp.float32),
+            jnp.zeros((b, h, bq, 1), jnp.float32),
+        )
+
+    if unroll_q:
+        # Pad-free path: static q tiles (last one smaller), full kv
+        # chunks via a scan, and the ragged kv tail as one static block
+        # that re-reads the cache's last ``block_k`` rows with the
+        # overlap masked out — no (B, H, KV, D) padded copies of K/V
+        # (3 × 88 MB at QVH full size).
+        num_full = kv_len // block_k
+        tail_len = kv_len - num_full * block_k
+        tail_blk = min(block_k, kv_len)
+        tail_start = kv_len - tail_blk
+        tiles = []
+        for qs in range(0, s, block_q):
+            bq = min(block_q, s - qs)
+            q_blk = q[:, qs:qs + bq] if q_bshd else q[:, :, qs:qs + bq]
+            q_pos = qs + jnp.arange(bq)[None, None, :, None]
+            q_end = qs + bq - 1
+            if causal:
+                nf = min((q_end + block_k) // block_k, num_full)
+                need_tail = tail_len > 0 and q_end >= num_full * block_k
+            else:
+                nf = num_full
+                need_tail = tail_len > 0
+            if tiles:
+                # Order the (data-independent) tiles: without this the
+                # scheduler interleaves them and keeps every tile's fp32
+                # accumulators live at once — ~20 extra 16 MB temps at
+                # QVH full-size, enough to OOM the B=2 generate graph.
+                k, v = jax.lax.optimization_barrier((k, v, tiles[-1]))[:2]
+            carry = init_carry(bq)
+            if nf > 0:
+                def step(c, c_idx, q_blk=q_blk, q_pos=q_pos):
+                    return attend(c, q_blk, q_pos, c_idx * block_k, block_k), None
+                carry, _ = jax.lax.scan(
+                    jax.checkpoint(step, prevent_cse=False),
+                    carry, jnp.arange(nf),
+                )
+            if need_tail or nf == 0:
+                carry = jax.checkpoint(
+                    lambda c, q_blk=q_blk, q_pos=q_pos: attend(
+                        c, q_blk, q_pos, tail_start, tail_blk,
+                        min_kv=num_full * block_k if tail_start else 0,
+                    ),
+                    prevent_cse=False,
+                )(carry)
+            tiles.append(finish(carry, q_blk))
+        return jnp.concatenate(tiles, axis=1 if q_bshd else 2)
+
+    # Scanned path (training): pad kv to whole chunks and q to whole
+    # tiles, scan over both.
+    pad_k = (-kv_len) % block_k
+    if pad_k:
+        kv_pads = [(0, 0)] * 4
+        kv_pads[kv_axis] = (0, pad_k)
+        k = jnp.pad(k, kv_pads)
+        v = jnp.pad(v, kv_pads)
+        mask = jnp.pad(mask, ((0, 0), (0, pad_k)))
+        if k_scale is not None:
+            s_pads = [(0, 0)] * 3
+            s_pads[1 if kv_bshd else 2] = (0, pad_k)
+            k_scale = jnp.pad(k_scale, s_pads)
+            v_scale = jnp.pad(v_scale, s_pads)
+        kv_len += pad_k
+    num_chunks = kv_len // block_k
+
+    block_q = min(block_q, max(s, 1))
+    pad_q = (-s) % block_q
+    q_axis = 1 if q_bshd else 2
+    if pad_q:
+        q_pads = [(0, 0)] * 4
+        q_pads[q_axis] = (0, pad_q)
+        q = jnp.pad(q, q_pads)
+        s += pad_q
+    num_q = s // block_q
+
+    def q_tile(qb_idx):
+        q_blk = jax.lax.dynamic_slice_in_dim(q, qb_idx * block_q, block_q, q_axis)
         q_pos = (qb_idx * block_q
                  + jnp.arange(block_q)[None, None, :, None])  # (1,1,bq,1)
         q_end = qb_idx * block_q + block_q - 1  # last query position
 
-        def compute(carry, c_idx):
-            acc, m_i, l_i = carry
-            k_blk = jax.lax.dynamic_slice_in_dim(k, c_idx * block_k, block_k, 2)
-            v_blk = jax.lax.dynamic_slice_in_dim(v, c_idx * block_k, block_k, 2)
-            m_blk = jax.lax.dynamic_slice_in_dim(mask, c_idx * block_k, block_k, 1)
-            logits = jnp.einsum(
-                "bhsd,bhkd->bhsk", q32, k_blk.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
-            valid = m_blk[:, None, None, :].astype(bool)
-            if causal:
-                kv_pos = c_idx * block_k + jnp.arange(block_k)[None, None, None, :]
-                valid = valid & (kv_pos <= q_pos)
-            logits = jnp.where(valid, logits, NEG_INF)
-
-            m_new = jnp.maximum(m_i, jnp.max(logits, axis=-1, keepdims=True))
-            p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
-            alpha = jnp.exp(m_i - m_new)
-            l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jnp.einsum(
-                "bhsk,bhkd->bhsd", p, v_blk.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
-            return acc, m_new, l_new
-
         def step(carry, c_idx):
-            if static_upper is not None:
-                # the chunk list is already causally clipped
-                carry = compute(carry, c_idx)
-            elif causal and causal_skip:
+            if causal and causal_skip:
                 # Skip chunks entirely above the causal diagonal for this
                 # query tile — halves attention matmuls+exps at long S.
                 # lax.cond executes one branch on TPU and stays
@@ -131,47 +254,32 @@ def chunked_attention(
                 carry = jax.lax.cond(
                     c_idx * block_k > q_end,
                     lambda c: c,
-                    lambda c: compute(c, c_idx),
+                    lambda c: attend(c, q_blk, q_pos, c_idx * block_k, block_k),
                     carry,
                 )
             else:
-                carry = compute(carry, c_idx)
+                carry = attend(carry, q_blk, q_pos, c_idx * block_k, block_k)
             return carry, None
 
-        init = (
-            jnp.zeros((b, h, block_q, d), jnp.float32),
-            jnp.full((b, h, block_q, 1), NEG_INF, jnp.float32),
-            jnp.zeros((b, h, block_q, 1), jnp.float32),
-        )
         # Remat each chunk: without this the scan's backward saves every
         # chunk's probability tile across every layer — at QVH scale
         # that is hundreds of GB.  Recomputing a chunk forward is one
         # small matmul.
-        (acc, _, l_i), _ = jax.lax.scan(
+        carry, _ = jax.lax.scan(
             jax.checkpoint(step, prevent_cse=False),
-            init,
-            jnp.arange(num_chunks if static_upper is None else static_upper),
+            init_carry(block_q),
+            jnp.arange(num_chunks),
         )
-        safe_l = jnp.where(l_i == 0, 1.0, l_i)
-        return (acc / safe_l).astype(q.dtype)
-
-    if unroll_q:
-        tiles = []
-        for qb in range(num_q):
-            if causal:
-                upper = min((qb * block_q + block_q + block_k - 1) // block_k,
-                            num_chunks)
-            else:
-                upper = num_chunks
-            tiles.append(q_tile(qb, static_upper=max(upper, 1)))
-        out = jnp.concatenate(tiles, axis=2)
-        return out[:, :, :orig_s]
+        return finish(carry, q_blk)
 
     _, tiles = jax.lax.scan(
         lambda carry, qb_idx: (carry, q_tile(qb_idx)),
         None,
         jnp.arange(num_q),
-    )  # tiles: (nq, B, H, bq, D)
+    )  # tiles: (nq, B, H|S, bq, ...) per finish's layout
+    if q_bshd:
+        out = tiles.transpose(1, 0, 2, 3, 4).reshape(b, s, h, d)
+        return out[:, :orig_s]
     out = tiles.transpose(1, 2, 0, 3, 4).reshape(b, h, s, d)
     return out[:, :, :orig_s]
 

@@ -161,6 +161,72 @@ def test_chunked_unroll_non_causal_and_grads():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("unroll", [False, True])
+def test_chunked_kv_bshd_layout(unroll):
+    """Cache-native (B, KV, H, D) K/V layout gives the same output as
+    the (B, H, KV, D) layout."""
+    from mraudio_tpu.ops.attention import chunked_attention
+
+    rng = np.random.default_rng(11)
+    b, h, s, d = 2, 3, 200, 32
+    kv = 256
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, kv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, kv, d)), jnp.float32)
+    mask = np.ones((b, kv), np.int32)
+    mask[0, 10:20] = 0
+    mask[:, s:] = 0
+    mask = jnp.asarray(mask)
+
+    ref = chunked_attention(q, k, v, mask, causal=True, block_k=64,
+                            unroll_q=unroll)
+    out = chunked_attention(
+        q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), mask,
+        causal=True, block_k=64, unroll_q=unroll, kv_bshd=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # q/out natural layout too
+    out2 = chunked_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), mask,
+        causal=True, block_k=64, unroll_q=unroll, kv_bshd=True, q_bshd=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2.transpose(0, 2, 1, 3)), np.asarray(ref),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_chunked_int8_kv_scales_match_dequant():
+    """Per-tile scale folding over an int8 K/V cache equals attention
+    over the dequantized cache."""
+    from mraudio_tpu.models.llama import quantize_kv
+    from mraudio_tpu.ops.attention import chunked_attention
+
+    rng = np.random.default_rng(9)
+    b, h, s, d = 2, 2, 192, 32
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    mask = np.ones((b, s), np.int32)
+    mask[0, 30:40] = 0
+    mask = jnp.asarray(mask)
+
+    # quantize along the head-dim axis, as the KV cache does ((B,S,H,D)
+    # layout there; here already (B,H,S,D) so axes line up directly)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    k_deq = kq.astype(jnp.float32) * ks[..., None]
+    v_deq = vq.astype(jnp.float32) * vs[..., None]
+
+    ref = chunked_attention(q, k_deq, v_deq, mask, causal=True, block_k=64)
+    out = chunked_attention(q, kq, vq, mask, causal=True, block_k=64,
+                            k_scale=ks, v_scale=vs, unroll_q=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_chunked_equals_pallas_interpret():
     from mraudio_tpu.ops.attention import chunked_attention
 
