@@ -61,11 +61,18 @@ def make_profile(name: str):
         return model, data, 2, 2
 
     if name == "full":
-        # MRAUDIO_BENCH_KV_QUANT=int8 halves KV-cache bytes (the B>=4
-        # enabler on a 16 GB chip; decode reads the int8 tensors
-        # directly — scales fold into logits/probs).
-        kv_quant = os.environ.get("MRAUDIO_BENCH_KV_QUANT", "none")
+        # int8 KV cache by default: B=2 next to the int8 7B no longer
+        # fits a 16 GB chip with a bf16 cache (5.7 GB vs 2.9 GB), and
+        # the kernels consume the int8 tensors directly (scales fold
+        # into logits/probs), so throughput matches bf16 — measured
+        # 0.464 vs 0.462 clips/s (docs/BENCHMARKS.md).
+        kv_quant = os.environ.get("MRAUDIO_BENCH_KV_QUANT", "int8")
+        # MRAUDIO_BENCH_KEYFRAME_INTERVAL=K (K>1) turns on the opt-in
+        # temporal-residual ViT (models/eva_vit.py) — an approximation,
+        # so it is never the headline configuration.
+        kf = int(os.environ.get("MRAUDIO_BENCH_KEYFRAME_INTERVAL", "1"))
         model = XInstructBLIPConfig(
+            vit=ViTConfig(keyframe_interval=kf),
             llm=LlamaConfig(quantization="int8", kv_quant=kv_quant),
         )
         data = DataConfig.for_dataset("QVH").replace(video_source="synthetic")
@@ -123,6 +130,20 @@ def flops_report(model, data_cfg, batch_size: int, clips_per_sec: float,
         "peak_tflops": peak / 1e12,
         "mfu": round(achieved / peak, 4),
     }
+
+
+def enable_compile_cache():
+    """Persistent XLA compilation cache: repeat bench runs of the same
+    graph skip the multi-minute full-size compile (no-op if the backend
+    doesn't support client-side caching)."""
+    import jax
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
 
 
 def run(profile: str, steps: int | None = None, batch_size: int | None = None):
@@ -236,6 +257,7 @@ def main():
 
     import jax
 
+    enable_compile_cache()
     if os.environ.get("MRAUDIO_BENCH_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
 
