@@ -86,9 +86,11 @@ def greedy_generate(
         )
         embeds = model.apply(params, method=lambda m, ids: m.embed(ids), ids=cur_id[:, None])
         attend = mask[:, None, None, :].astype(bool)
+        # kv_valid lets the quantized decode read the int8 cache
+        # directly through the chunked kernel (models/llama.py).
         logits, cache = model.apply(
             params, embeds, attend, (cur_pos + 1)[:, None],
-            cache=cache, cache_index=s + t,
+            cache=cache, cache_index=s + t, kv_valid=mask,
         )
         nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         done = done | (cur_id == eos_id)

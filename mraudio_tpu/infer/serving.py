@@ -116,7 +116,7 @@ class ContinuousBatcher:
         attend = valid[:, None, None, :].astype(bool)
         logits, cache = self.model.apply(
             params, embeds, attend, (positions + 1)[:, None],
-            cache=cache, cache_index=write_cols,
+            cache=cache, cache_index=write_cols, kv_valid=valid,
         )
         return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 

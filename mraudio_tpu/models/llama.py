@@ -241,16 +241,22 @@ class LlamaAttention(nn.Module):
                 v_scale = jnp.repeat(v_scale, rep, axis=2)
 
         # Memory-efficient attention for multi-token calls
-        # (prefill/training); decode steps use the dense path.
+        # (prefill/training).  Decode steps (s == 1) use the dense path
+        # — except over a quantized cache, where the dense dot would
+        # force a full-cache bf16 convert as its materialized operand
+        # every step (read int8 2.9 GB -> write+read bf16 2x5.7 GB per
+        # layer sweep); the chunked kernel reads the int8 tiles
+        # directly, so decode stays at the int8 byte rate.
         impl = cfg.attention_impl
         use_streaming = (
             impl in ("chunked", "pallas")
-            and s > 1
-            and causal
             and kv_valid is not None
+            and ((s > 1 and causal) or (s == 1 and quantized))
         )
-        if use_streaming and impl == "pallas" and jax.default_backend() != "tpu":
-            impl = "chunked"  # Mosaic kernels only compile for real TPUs
+        if use_streaming and impl == "pallas" and (
+            jax.default_backend() != "tpu" or s == 1
+        ):
+            impl = "chunked"  # Mosaic kernels: real TPUs, multi-token only
         dtype = jnp.dtype(cfg.dtype)
         if use_streaming:
             from mraudio_tpu.ops.attention import chunked_attention, flash_attention
@@ -292,7 +298,10 @@ class LlamaAttention(nn.Module):
                     **extra,
                 ).transpose(0, 2, 1, 3)
             else:
-                out = fn(q, k_full, v_full, kv_valid, causal=True, **extra)
+                # causal only for multi-token prefill: a decode step's
+                # single query attends every valid slot (the kernel's
+                # q positions are tile-relative, not absolute).
+                out = fn(q, k_full, v_full, kv_valid, causal=s > 1, **extra)
         else:
             logits = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k_full.astype(q.dtype),
