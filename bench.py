@@ -154,12 +154,14 @@ def run(profile: str, steps: int | None = None, batch_size: int | None = None):
     model_cfg, data_cfg, default_batch, default_steps = make_profile(profile)
     steps = steps or default_steps
     batch_size = batch_size or default_batch
+    setup_t0 = time.time()
     model = XInstructBLIP(model_cfg, audio_cfg=data_cfg.audio)
     params = model.init_params(jax.random.PRNGKey(0))
     from mraudio_tpu.models.casting import cast_params_for_inference
 
     params = cast_params_for_inference(params)
     batch = make_batch(data_cfg, model, batch_size)
+    setup_time = time.time() - setup_t0
 
     # Warmup / compile.
     t0 = time.time()
@@ -177,6 +179,7 @@ def run(profile: str, steps: int | None = None, batch_size: int | None = None):
     clips_per_sec = batch_size * steps / elapsed
     result = {
         "clips_per_sec": clips_per_sec,
+        "setup_time_s": setup_time,
         "compile_time_s": compile_time,
         "elapsed_s": elapsed,
         "batch_size": batch_size,
@@ -271,6 +274,7 @@ def main():
         "profile": profile,
         "device": device_kind,
         "compile_time_s": round(result["compile_time_s"], 1),
+        "setup_time_s": round(result["setup_time_s"], 1),
         "batch_size": result["batch_size"],
         "n_frms": result["n_frms"],
         "mfu": result["flops"]["mfu"],

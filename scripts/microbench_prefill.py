@@ -55,7 +55,7 @@ def main():
 
     print("init params ...", flush=True)
     t0 = time.time()
-    attend_tiny = jnp.ones((b, 4, 1, 4), bool)
+    attend_tiny = jnp.ones((b, 1, 4, 4), bool)
     params = {"params": model.init(
         jax.random.PRNGKey(0), x[:, :4], attend_tiny,
         jnp.zeros((b, 4), jnp.int32), jnp.zeros((b, 4), jnp.int32),
