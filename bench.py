@@ -79,9 +79,10 @@ def make_profile(name: str):
         return model, data, 2, 2
 
     if name == "charades":
-        # Charades-STA shapes (20 frames) on the full-size stack.
+        # Charades-STA shapes (20 frames) on the full-size stack; int8
+        # KV + streamed decode as in `full`.
         model = XInstructBLIPConfig(
-            llm=LlamaConfig(quantization="int8"),
+            llm=LlamaConfig(quantization="int8", kv_quant="int8"),
         )
         data = DataConfig.for_dataset("Charades_STA").replace(video_source="synthetic")
         return model, data, 2, 2

@@ -167,6 +167,13 @@ class LlamaConfig(_ConfigBase):
     # deployments), "dense" = materialized logits (tiny shapes / debug).
     # Decode steps always use the dense path (1 x KV has nothing to tile).
     attention_impl: str = "chunked"
+    # Unroll the prefill's query tiles at trace time (ops/attention.py
+    # unroll_q): 24%/layer faster at QVH shape but ~10x the attention
+    # HLO — full-size cold compiles go from ~5 to ~20 min through the
+    # remote-compile tunnel.  End-to-end the win is ~4% at B=2, so the
+    # default favors compile latency; flip on for long-lived serving
+    # processes.  (Decode steps always use the trivial 1-tile unroll.)
+    attention_unroll_prefill: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -270,16 +270,20 @@ class LlamaAttention(nn.Module):
                     v_full = v_full.astype(dtype) * v_scale[..., None].astype(dtype)
             else:
                 fn = chunked_attention
-                # Generate prefill (cache present) unrolls the query
-                # tiles — static causal bounds measured 24% faster on
-                # v5e; the training path (no cache) keeps the scanned
-                # outer loop with the proven backward memory profile.
+                # Unroll policy: decode steps (one q tile) always;
+                # prefill only when cfg.attention_unroll_prefill (24%
+                # faster per layer but ~10x the HLO — see config.py).
+                # The training path (no cache) keeps the scanned outer
+                # loop with the proven backward memory profile.
                 # kv_bshd/q_bshd: K/V stay in the cache's (B, KV, H, D)
                 # layout and q/out in the decoder's natural (B, S, H, D)
                 # — the kernel transposes 2 MB chunk slices instead of
                 # materializing four full-sequence layout copies per
                 # layer.
-                extra = {"unroll_q": cache is not None, "kv_bshd": True,
+                unroll = cache is not None and (
+                    s == 1 or cfg.attention_unroll_prefill
+                )
+                extra = {"unroll_q": unroll, "kv_bshd": True,
                          "q_bshd": True}
                 if quantized:
                     # Feed the int8 cache directly; the kernel dequants

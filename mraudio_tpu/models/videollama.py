@@ -180,7 +180,16 @@ class VideoLLaMA:
 
     # ------------------------------------------------------------------
 
-    def init_params(self, rng: jax.Array) -> dict:
+    def init_params(self, rng: jax.Array, jit: bool | None = None) -> dict:
+        """See ``XInstructBLIP.init_params``: one-dispatch init for
+        production-size stacks, eager for tiny test configs."""
+        if jit is None:
+            jit = self.cfg.llm.hidden_size >= 2048
+        if jit:
+            return jax.jit(self._init_params_eager)(rng)
+        return self._init_params_eager(rng)
+
+    def _init_params_eager(self, rng: jax.Array) -> dict:
         cfg = self.cfg
         keys = jax.random.split(rng, 5)
         t_mel = self.audio_cfg.mel_frames_per_chunk

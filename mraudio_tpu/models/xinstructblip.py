@@ -167,7 +167,21 @@ class XInstructBLIP:
     # Params
     # ------------------------------------------------------------------
 
-    def init_params(self, rng: jax.Array) -> dict:
+    def init_params(self, rng: jax.Array, jit: bool | None = None) -> dict:
+        """Random-init the full param tree.
+
+        Production-size stacks run the whole init inside one ``jax.jit``
+        dispatch: eager flax init issues thousands of tiny ops, which
+        through a remote-dispatch tunnel costs minutes (measured 225 s
+        for the full profile; single-dispatch is seconds).  Tiny test
+        configs stay eager — a compile would cost more than it saves."""
+        if jit is None:
+            jit = self.cfg.llm.hidden_size >= 2048
+        if jit:
+            return jax.jit(self._init_params_eager)(rng)
+        return self._init_params_eager(rng)
+
+    def _init_params_eager(self, rng: jax.Array) -> dict:
         cfg = self.cfg
         keys = jax.random.split(rng, 12)
         t_mel = self.audio_cfg.mel_frames_per_chunk
