@@ -174,6 +174,20 @@ class LlamaConfig(_ConfigBase):
     # default favors compile latency; flip on for long-lived serving
     # processes.  (Decode steps always use the trivial 1-tile unroll.)
     attention_unroll_prefill: bool = False
+    # Unroll the training (no-cache) attention's query tiles.  The
+    # scanned outer loop's backward materializes a per-(tile, chunk)
+    # K/V-cotangent buffer ((11, 11, B, H, 512, 128) f32 ≈ 1 GB/layer at
+    # QVH full size — the thing that keeps B=1 7B training off a 16 GB
+    # chip); the unrolled loop accumulates cotangents tile-by-tile
+    # instead.  Off by default (compile time; small models don't care).
+    attention_unroll_train: bool = False
+    # Sequence-chunked MLP: run the feed-forward as an nn.scan over
+    # token tiles of this size (0 = whole sequence in one pass).  The
+    # MLP's (S, intermediate) gate/up/silu temps are the largest
+    # activations at QVH full size (3 x 114 MB per layer) and the
+    # training backward keeps dozens live; tiling caps them at
+    # (chunk, intermediate).  Forward-only inference doesn't need it.
+    mlp_seq_chunk: int = 0
 
     @property
     def head_dim(self) -> int:

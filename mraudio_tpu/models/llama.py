@@ -280,9 +280,10 @@ class LlamaAttention(nn.Module):
                 # — the kernel transposes 2 MB chunk slices instead of
                 # materializing four full-sequence layout copies per
                 # layer.
-                unroll = cache is not None and (
-                    s == 1 or cfg.attention_unroll_prefill
-                )
+                if cache is not None:
+                    unroll = s == 1 or cfg.attention_unroll_prefill
+                else:
+                    unroll = cfg.attention_unroll_train
                 extra = {"unroll_q": unroll, "kv_bshd": True,
                          "q_bshd": True}
                 if quantized:
@@ -328,12 +329,17 @@ class LlamaAttention(nn.Module):
         return out, new_cache
 
 
-class LlamaMlp(nn.Module):
+class _MlpCore(nn.Module):
+    """SwiGLU feed-forward on one token tile; ``(carry, x) -> (carry, y)``
+    signature so it can be ``nn.scan``-ned over sequence chunks with
+    broadcast (shared) params."""
+
     cfg: LlamaConfig
     lora: Optional[LoraConfig]
+    deterministic: bool = True
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, carry, x):
         cfg = self.cfg
 
         def lin(name, feats):
@@ -343,9 +349,46 @@ class LlamaMlp(nn.Module):
                 name=name,
             )
 
-        gate = lin("gate_proj", cfg.intermediate_size)(x, deterministic)
-        up = lin("up_proj", cfg.intermediate_size)(x, deterministic)
-        return lin("down_proj", cfg.hidden_size)(nn.silu(gate) * up, deterministic)
+        gate = lin("gate_proj", cfg.intermediate_size)(x, self.deterministic)
+        up = lin("up_proj", cfg.intermediate_size)(x, self.deterministic)
+        out = lin("down_proj", cfg.hidden_size)(
+            nn.silu(gate) * up, self.deterministic
+        )
+        return carry, out
+
+
+class LlamaMlp(nn.Module):
+    cfg: LlamaConfig
+    lora: Optional[LoraConfig]
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.cfg
+        chunk = cfg.mlp_seq_chunk
+        b, s, d = x.shape
+        if not chunk or s <= chunk:
+            core = _MlpCore(cfg, self.lora, deterministic)
+            nn.share_scope(self, core)  # params stay at mlp/{gate,up,down}_proj
+            return core(None, x)[1]
+
+        # Tile the token axis: nn.scan with broadcast params + per-tile
+        # remat caps the (tile, intermediate) temps — see
+        # config.mlp_seq_chunk.  Param tree identical to the plain path.
+        pad = (-s) % chunk
+        xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+        xs = xp.reshape(b, -1, chunk, d).transpose(1, 0, 2, 3)  # (n,B,c,D)
+        scan_cls = nn.scan(
+            nn.remat(_MlpCore),
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0,
+            out_axes=0,
+        )
+        core = scan_cls(cfg, self.lora, deterministic)
+        nn.share_scope(self, core)
+        _, ys = core(None, xs)
+        y = ys.transpose(1, 0, 2, 3).reshape(b, -1, d)
+        return y[:, :s] if pad else y
 
 
 class LlamaBlock(nn.Module):
@@ -362,7 +405,15 @@ class LlamaBlock(nn.Module):
         )
         x = x + h
         h = RMSNorm(epsilon=self.cfg.rms_norm_eps, name="post_attn_norm")(x)
-        h = LlamaMlp(self.cfg, self.lora, name="mlp")(h, deterministic)
+        mlp_cls = LlamaMlp
+        if self.cfg.grad_checkpoint:
+            # Nested remat: when the (already-rematted) block's backward
+            # recomputes its forward, the MLP's (S, 11008) gate/up/silu
+            # temps (3 x 114 MB at QVH full size) and the attention
+            # temps would otherwise be live together; checkpointing the
+            # MLP separately splits the block-local peak.
+            mlp_cls = nn.remat(LlamaMlp, static_argnums=(2,))
+        h = mlp_cls(self.cfg, self.lora, name="mlp")(h, deterministic)
         return x + h, new_cache
 
 

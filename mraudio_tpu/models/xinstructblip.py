@@ -565,6 +565,18 @@ class XInstructBLIP:
             return texts, (np.asarray(saliency) if saliency is not None else None)
         return texts
 
+    # Param subtrees consumed only by _encode_modality_tokens.  Nothing
+    # under them is trainable in the default (LoRA [+saliency]) setup,
+    # which lets the trainer run the encoders as their own jit program —
+    # their 2.6 GB of weights then aren't resident during the LLM
+    # backward (the margin that OOMed full-size B=1 training on 16 GB).
+    ENCODER_PARAM_KEYS = (
+        "vit", "beats", "video_ln", "audio_ln",
+        "video_qformer", "audio_qformer",
+        "video_query_tokens", "audio_query_tokens",
+        "video_proj", "audio_proj",
+    )
+
     @functools.partial(jax.jit, static_argnames=("self", "n_frms"))
     def _loss_fn(
         self, params, video_u8, audio_wave, qformer_ids, qformer_mask,
@@ -575,6 +587,17 @@ class XInstructBLIP:
         modal = self._encode_modality_tokens(
             params, video_u8, audio_wave, qformer_ids, qformer_mask, n_frms
         )
+        return self._loss_from_tokens(
+            params, modal, ts_ids, ts_mask, dur_ids, dur_mask,
+            concat_ids, concat_mask, labels, saliency_labels,
+        )
+
+    def _loss_from_tokens(
+        self, params, modal, ts_ids, ts_mask, dur_ids, dur_mask,
+        concat_ids, concat_mask, labels, saliency_labels=None,
+    ):
+        """CE (+ saliency BCE) from precomputed modal tokens; consumes
+        only the ``llm`` (+ ``saliency_head``) param subtrees."""
         prefix, pmask = self._build_prefix(
             params, modal, ts_ids, ts_mask, dur_ids, dur_mask
         )

@@ -27,6 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+from flax import traverse_util
 
 from mraudio_tpu.config import RunConfig
 from mraudio_tpu.data.dataset import BatchLoader, MRDataset
@@ -155,8 +156,58 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _split_frozen_encoders(self):
+        """(frozen_encoder_flat, frozen_rest_flat) when the model's
+        encoder param subtrees are entirely frozen, else None — the
+        condition under which the train step can run the encoders as
+        a separate jit program (see XInstructBLIP.ENCODER_PARAM_KEYS)."""
+        enc_keys = getattr(self.model, "ENCODER_PARAM_KEYS", None)
+        if enc_keys is None or not hasattr(self.model, "_loss_from_tokens"):
+            return None
+        if any(k[0] in enc_keys for k in self.trainable):
+            return None
+        frozen_enc = {k: v for k, v in self.frozen.items() if k[0] in enc_keys}
+        frozen_rest = {k: v for k, v in self.frozen.items() if k[0] not in enc_keys}
+        return frozen_enc, frozen_rest
+
     def _build_step(self, n_frms: int):
         model, tx = self.model, self.tx
+        split = self._split_frozen_encoders()
+
+        if split is not None:
+            frozen_enc, frozen_rest = split
+            enc_params = traverse_util.unflatten_dict(frozen_enc)
+
+            # Program A: frozen encoders + Q-Formers + projections.
+            # Nothing trainable feeds them, so the boundary carries no
+            # gradients — and their weights aren't arguments of the
+            # backward program.
+            @jax.jit
+            def encode_fn(enc_params, video_u8, audio_wave, qformer_ids,
+                          qformer_mask):
+                return model._encode_modality_tokens(
+                    enc_params, video_u8, audio_wave, qformer_ids,
+                    qformer_mask, n_frms,
+                )
+
+            # Program B: LLM loss + LoRA/saliency grads + update.
+            def step_fn(trainable, frozen_rest, opt_state, modal, text_arrays):
+                def loss_fn(tr):
+                    params = merge_params(tr, frozen_rest)
+                    return model._loss_from_tokens(params, modal, *text_arrays)
+
+                loss, grads = jax.value_and_grad(loss_fn)(trainable)
+                updates, opt_state2 = tx.update(grads, opt_state, trainable)
+                return loss, optax.apply_updates(trainable, updates), opt_state2
+
+            step_jit = jax.jit(step_fn, donate_argnums=(0, 2))
+
+            def run(trainable, frozen, opt_state, arrays):
+                modal = encode_fn(enc_params, *arrays[:4])
+                return step_jit(trainable, frozen_rest, opt_state, modal,
+                                arrays[4:])
+
+            return run
 
         def step_fn(trainable, frozen, opt_state, arrays):
             def loss_fn(tr):

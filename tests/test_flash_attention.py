@@ -227,6 +227,46 @@ def test_chunked_int8_kv_scales_match_dequant():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_mlp_seq_chunk_matches_plain():
+    """Sequence-chunked MLP (nn.scan over token tiles) returns the same
+    values and creates the identical param tree as the plain pass."""
+    from mraudio_tpu.config import LlamaConfig, LoraConfig
+    from mraudio_tpu.models.llama import LlamaMlp
+
+    cfg = LlamaConfig(hidden_size=32, intermediate_size=64, num_layers=1,
+                      num_heads=4, num_kv_heads=4, vocab_size=64,
+                      dtype="float32")
+    lora = LoraConfig(rank=2, alpha=2)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((2, 10, 32)), jnp.float32)
+
+    plain = LlamaMlp(cfg, lora)
+    chunked = LlamaMlp(cfg.replace(mlp_seq_chunk=4), lora)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    params_c = chunked.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_c)
+
+    y0 = plain.apply(params, x)
+    y1 = chunked.apply(params, x)  # same params drive both paths
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients through the scanned path match the plain path
+    def loss(fn):
+        return jax.grad(
+            lambda p: jnp.sum(fn.apply(p, x) ** 2)
+        )(params)
+
+    g0, g1 = loss(plain), loss(chunked)
+    for (k0, a), (k1, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g0), key=lambda kv: str(kv[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(g1), key=lambda kv: str(kv[0])),
+    ):
+        assert str(k0) == str(k1)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_chunked_equals_pallas_interpret():
     from mraudio_tpu.ops.attention import chunked_attention
 
