@@ -71,9 +71,11 @@ def make_profile(name: str):
         # temporal-residual ViT (models/eva_vit.py) — an approximation,
         # so it is never the headline configuration.
         kf = int(os.environ.get("MRAUDIO_BENCH_KEYFRAME_INTERVAL", "1"))
+        scan = os.environ.get("MRAUDIO_BENCH_SCAN_LAYERS", "0") == "1"
         model = XInstructBLIPConfig(
             vit=ViTConfig(keyframe_interval=kf),
-            llm=LlamaConfig(quantization="int8", kv_quant=kv_quant),
+            llm=LlamaConfig(quantization="int8", kv_quant=kv_quant,
+                            scan_layers=scan),
         )
         data = DataConfig.for_dataset("QVH").replace(video_source="synthetic")
         return model, data, 2, 2

@@ -188,6 +188,14 @@ class LlamaConfig(_ConfigBase):
     # training backward keeps dozens live; tiling caps them at
     # (chunk, intermediate).  Forward-only inference doesn't need it.
     mlp_seq_chunk: int = 0
+    # Scan over the layer stack (one nn.scan body instead of 32 traced
+    # block copies).  Params/cache carry a leading (num_layers,) axis —
+    # weight loads stack the per-layer trees (models/convert_weights
+    # stack_llm_layers).  ~30x smaller decoder HLO: full-size compiles
+    # drop from minutes to seconds, and the backward's working set is
+    # one layer (XLA cannot interleave rematted blocks across layers),
+    # which is what lets the 7B B=1 train step fit a 16 GB chip.
+    scan_layers: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -369,6 +377,13 @@ class TrainConfig(_ConfigBase):
     seed: int = 42
     output_dir: str = "output"
     resume_ckpt_path: str = ""
+    # Run the frozen encoders as their own jit program ahead of the LLM
+    # loss/grad program (valid whenever nothing trainable feeds them).
+    # Two smaller programs compile/schedule better, but note each
+    # program's compile-time memory accounting ignores the OTHER's
+    # arguments — on a memory-saturated chip the single fused program's
+    # accounting is the honest one (set False there).
+    split_encode_step: bool = True
 
 
 @dataclass(frozen=True)

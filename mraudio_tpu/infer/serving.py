@@ -98,16 +98,15 @@ class ContinuousBatcher:
         return cache, next_id[0], positions[0, -1]
 
     def _write_slot_fn(self, cache, one_cache, slot):
-        out = []
-        for layer, one in zip(cache, one_cache):
-            # copies every cache leaf (k/v, plus scales under kv_quant)
-            out.append({
-                name: jax.lax.dynamic_update_slice(
-                    layer[name], one[name], (slot,) + (0,) * (layer[name].ndim - 1)
-                )
-                for name in layer
-            })
-        return out
+        # copies every cache leaf (k/v, plus scales under kv_quant);
+        # the slot axis is 0 in the per-layer-list layout and 1 under
+        # cfg.scan_layers (leaves carry a leading num_layers axis)
+        axis = 1 if self.model.cfg.scan_layers else 0
+        def upd(dst, src):
+            idx = [0] * dst.ndim
+            idx[axis] = slot
+            return jax.lax.dynamic_update_slice(dst, src, tuple(idx))
+        return jax.tree_util.tree_map(upd, cache, one_cache)
 
     def _decode_fn(self, params, cache, cur_ids, positions, valid, write_cols):
         embeds = self.model.apply(

@@ -413,6 +413,20 @@ def convert_beats(sd: dict, cfg) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def stack_llm_layers(llm: dict, num_layers: int) -> dict:
+    """``layer_i`` subtrees → one ``layers`` subtree with leaves stacked
+    along a new leading (num_layers,) axis — the ``cfg.scan_layers``
+    param layout (one nn.scan body over the stack)."""
+    import jax
+
+    out = {k: v for k, v in llm.items() if not k.startswith("layer_")}
+    layers = [llm[f"layer_{i}"] for i in range(num_layers)]
+    out["layers"] = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *layers
+    )
+    return out
+
+
 def load_pretrained_params(model, cfg) -> dict:
     """Random-init the assembly, then overlay every converted checkpoint
     whose path is configured (empty paths stay random — weight-free smoke
@@ -442,6 +456,10 @@ def load_pretrained_params(model, cfg) -> dict:
             converted = convert_videollama(sd, model.cfg)
             if model.cfg.llm.quantization == "int8" and "llm" in converted:
                 converted["llm"] = quantize_llama_int8(converted["llm"])
+            if model.cfg.llm.scan_layers and "llm" in converted:
+                converted["llm"] = stack_llm_layers(
+                    converted["llm"], model.cfg.llm.num_layers
+                )
             overlay(params, converted)
             logger.info("loaded VideoLLaMA checkpoint from %s", cfg.llm_weights)
         if cfg.beats_weights:
@@ -476,6 +494,8 @@ def load_pretrained_params(model, cfg) -> dict:
         llm = convert_llama_hf(sd, cfg.model.llm)
         if cfg.model.llm.quantization == "int8":
             llm = quantize_llama_int8(llm)
+        if cfg.model.llm.scan_layers:
+            llm = stack_llm_layers(llm, cfg.model.llm.num_layers)
         overlay(params["llm"], llm)
         logger.info("loaded LLM weights from %s", cfg.llm_weights)
     return params

@@ -439,10 +439,26 @@ class LlamaModel(nn.Module):
         block_cls = LlamaBlock
         if self.cfg.grad_checkpoint:
             block_cls = nn.remat(LlamaBlock, static_argnums=(6, 8))
-        self.blocks = [
-            block_cls(self.cfg, self.lora, name=f"layer_{i}")
-            for i in range(self.cfg.num_layers)
-        ]
+        if self.cfg.scan_layers:
+            # One nn.scan body instead of num_layers traced copies:
+            # params/cache gain a leading (L,) axis (see
+            # config.scan_layers).  x is the carry; the per-layer cache
+            # is scanned in/out; everything else broadcasts.
+            self.layers = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, 0, nn.broadcast,
+                         nn.broadcast, nn.broadcast, nn.broadcast),
+                out_axes=0,
+                length=self.cfg.num_layers,
+            )(self.cfg, self.lora)
+            self.blocks = ()
+        else:
+            self.blocks = [
+                block_cls(self.cfg, self.lora, name=f"layer_{i}")
+                for i in range(self.cfg.num_layers)
+            ]
         self.final_norm = RMSNorm(epsilon=self.cfg.rms_norm_eps, name="final_norm")
         # Never quantized: mirrors HF get_keys_to_not_convert under
         # load_in_8bit (reference models/xinstructblip.py:151).
@@ -473,13 +489,21 @@ class LlamaModel(nn.Module):
         causal: bool = False,
     ):
         x = inputs_embeds.astype(jnp.dtype(self.cfg.dtype))
-        new_cache = []
-        for i, block in enumerate(self.blocks):
-            layer_cache = cache[i] if cache is not None else None
-            # fully positional so nn.remat's static_argnums line up
-            x, c = block(x, mask, positions, layer_cache, cache_index,
-                         deterministic, kv_valid, causal)
-            new_cache.append(c)
+        if self.cfg.scan_layers:
+            # cache: stacked pytree with leading (L,) axis (init_cache)
+            x, scanned_cache = self.layers(
+                x, mask, positions, cache, cache_index,
+                deterministic, kv_valid, causal,
+            )
+            new_cache = scanned_cache if cache is not None else []
+        else:
+            new_cache = []
+            for i, block in enumerate(self.blocks):
+                layer_cache = cache[i] if cache is not None else None
+                # fully positional so nn.remat's static_argnums line up
+                x, c = block(x, mask, positions, layer_cache, cache_index,
+                             deterministic, kv_valid, causal)
+                new_cache.append(c)
         x = self.final_norm(x)
         if return_hidden:
             return x, (new_cache if cache is not None else None)
@@ -488,10 +512,23 @@ class LlamaModel(nn.Module):
         return logits, (new_cache if cache is not None else None)
 
 
-def init_cache(cfg: LlamaConfig, batch: int, max_len: int) -> list:
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int):
     """Preallocate a static-shape KV cache (int8 + scales when
-    ``cfg.kv_quant == "int8"``)."""
+    ``cfg.kv_quant == "int8"``).  Per-layer list of dicts; with
+    ``cfg.scan_layers`` one dict whose leaves carry a leading
+    (num_layers,) axis instead (the nn.scan xs/ys layout)."""
     shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.scan_layers:
+        lshape = (cfg.num_layers,) + shape
+        if cfg.kv_quant == "int8":
+            return {
+                "k": jnp.zeros(lshape, jnp.int8),
+                "v": jnp.zeros(lshape, jnp.int8),
+                "k_scale": jnp.zeros(lshape[:-1], jnp.float32),
+                "v_scale": jnp.zeros(lshape[:-1], jnp.float32),
+            }
+        dtype = jnp.dtype(cfg.dtype)
+        return {"k": jnp.zeros(lshape, dtype), "v": jnp.zeros(lshape, dtype)}
     if cfg.kv_quant == "int8":
         sshape = shape[:-1]
         return [

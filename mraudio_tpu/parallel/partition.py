@@ -59,7 +59,12 @@ def param_shardings(params, mesh: Mesh, rules=None):
     rules = LLM_RULES if rules is None else rules
 
     def to_sharding(path, leaf):
-        spec = _match(_path_str(path), rules)
+        p = _path_str(path)
+        spec = _match(p, rules)
+        if "/layers/" in p and len(spec):
+            # cfg.scan_layers: leaves carry a leading (num_layers,)
+            # axis — the TP axes shift right by one.
+            spec = P(None, *spec)
         if len(spec) > leaf.ndim:
             spec = P(*spec[: leaf.ndim])
         return NamedSharding(mesh, spec)

@@ -161,6 +161,8 @@ class Trainer:
         encoder param subtrees are entirely frozen, else None — the
         condition under which the train step can run the encoders as
         a separate jit program (see XInstructBLIP.ENCODER_PARAM_KEYS)."""
+        if not self.cfg.train.split_encode_step:
+            return None
         enc_keys = getattr(self.model, "ENCODER_PARAM_KEYS", None)
         if enc_keys is None or not hasattr(self.model, "_loss_from_tokens"):
             return None
