@@ -78,7 +78,7 @@ def make_profile(name: str):
                             scan_layers=scan),
         )
         data = DataConfig.for_dataset("QVH").replace(video_source="synthetic")
-        return model, data, 2, 2
+        return model, data, 2, 3
 
     if name == "charades":
         # Charades-STA shapes (20 frames) on the full-size stack; int8
