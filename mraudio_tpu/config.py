@@ -252,6 +252,13 @@ class XInstructBLIPConfig(_ConfigBase):
     # B=2 fold's (120,16,257,257) fp32 logits alone are 2x742 MB, which
     # is what OOMs 16 GB chips at B>=2.  0 = single pass over the fold.
     encode_clips_per_pass: int = 1
+    # Finer-grained encoder batching: cap the folded frame axis at this
+    # many frames per ViT/BEATs pass (0 = off).  Unlike
+    # encode_clips_per_pass this also helps B=1 (the full-size train
+    # step: one clip's (60, 16, 257, 257) f32 ViT logits pair is 742 MB).
+    # Ignored when the temporal-residual encoder is on (it needs whole
+    # clips per pass).
+    encode_frames_per_pass: int = 0
     vit: ViTConfig = field(default_factory=ViTConfig)
     beats: BeatsConfig = field(default_factory=BeatsConfig)
     qformer: QFormerConfig = field(default_factory=QFormerConfig)

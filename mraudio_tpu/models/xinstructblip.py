@@ -352,7 +352,19 @@ class XInstructBLIP:
             b, t = video_u8.shape[:2]
             frames = normalize_frames(video_u8, dtype=jnp.dtype(cfg.vit.dtype))
             gsize = cfg.encode_clips_per_pass
-            if gsize and b > gsize and b % gsize == 0:
+            fpp = cfg.encode_frames_per_pass
+            if (fpp and b * t > fpp and (b * t) % fpp == 0
+                    and cfg.vit.keyframe_interval == 1):
+                # Frame-level chunking (also effective at B=1): caps the
+                # ViT's fp32 logits temp at fpp frames per pass.
+                folded = frames.reshape((b * t,) + frames.shape[2:])
+                groups = folded.reshape((b * t // fpp, fpp) + folded.shape[1:])
+                feats = jax.lax.map(
+                    lambda g: self.vit.apply({"params": params["vit"]}, g),
+                    groups,
+                )
+                feats = feats.reshape((b * t,) + feats.shape[2:])
+            elif gsize and b > gsize and b % gsize == 0:
                 # One ViT pass per clip group (lax.map): bounds the
                 # encoder's fp32 logits temp to gsize*t frames instead of
                 # the whole fold (see config.encode_clips_per_pass).
@@ -376,7 +388,16 @@ class XInstructBLIP:
             fbank = beats_frontend(audio_wave, self.audio_cfg, n_frms)
             b, t = fbank.shape[:2]
             gsize = cfg.encode_clips_per_pass
-            if gsize and b > gsize and b % gsize == 0:
+            fpp = cfg.encode_frames_per_pass
+            if fpp and b * t > fpp and (b * t) % fpp == 0:
+                folded = fbank.reshape((b * t,) + fbank.shape[2:])
+                groups = folded.reshape((b * t // fpp, fpp) + folded.shape[1:])
+                feats = jax.lax.map(
+                    lambda g: self.beats.apply({"params": params["beats"]}, g),
+                    groups,
+                )
+                feats = feats.reshape((b * t,) + feats.shape[2:])
+            elif gsize and b > gsize and b % gsize == 0:
                 # Same per-clip-group folding as the video branch: the
                 # BEATs fold's (B*T, 12, 256, 256) fp32 logits are the
                 # next-largest temp after the ViT's.

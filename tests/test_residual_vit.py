@@ -128,6 +128,39 @@ def test_encode_clips_per_pass_equivalent():
         )
 
 
+def test_encode_frames_per_pass_equivalent():
+    """Frame-level encoder chunking (B=1-effective) matches the plain
+    single-fold pass."""
+    from mraudio_tpu.models.xinstructblip import XInstructBLIP
+    from bench import make_batch
+
+    base_cfg = tiny_model_config()
+    data_cfg = tiny_data_config(n_frms=4)
+    m1 = XInstructBLIP(base_cfg.replace(encode_clips_per_pass=0),
+                       audio_cfg=data_cfg.audio)
+    m2 = XInstructBLIP(
+        base_cfg.replace(encode_clips_per_pass=0, encode_frames_per_pass=2),
+        audio_cfg=data_cfg.audio,
+    )
+    params = m1.init_params(jax.random.PRNGKey(0))
+    batch = make_batch(data_cfg, m1, 1)
+    video = jnp.asarray(batch.video)
+    audio = jnp.asarray(batch.audio)
+    text = m1.prepare_text(batch.text_input, np.asarray(batch.timestamps),
+                           batch.duration)
+    kw = dict(
+        qformer_ids=jnp.asarray(text.qformer_ids),
+        qformer_mask=jnp.asarray(text.qformer_mask), n_frms=4,
+    )
+    t1 = m1._encode_modality_tokens(params, video, audio, **kw)
+    t2 = m2._encode_modality_tokens(params, video, audio, **kw)
+    for k in t1:
+        np.testing.assert_allclose(
+            np.asarray(t1[k], np.float32), np.asarray(t2[k], np.float32),
+            rtol=4e-2, atol=4e-2,
+        )
+
+
 def test_flops_accounting_reflects_residual():
     from mraudio_tpu.config import AudioFrontendConfig
     from mraudio_tpu.utils.flops import pipeline_flops
