@@ -72,10 +72,20 @@ def make_profile(name: str):
         # so it is never the headline configuration.
         kf = int(os.environ.get("MRAUDIO_BENCH_KEYFRAME_INTERVAL", "1"))
         scan = os.environ.get("MRAUDIO_BENCH_SCAN_LAYERS", "0") == "1"
+        # MRAUDIO_BENCH_CONSTRAINED=1 measures grammar-constrained
+        # decoding (+ forced-token speculation, MRAUDIO_BENCH_SPEC_WIDTH).
+        # Not the headline: under random weights the grammar changes how
+        # fast rows terminate, so it isn't clip-comparable with the
+        # unconstrained run — compare spec_width=1 vs >1 instead (token-
+        # identical by construction).
+        constrained = os.environ.get("MRAUDIO_BENCH_CONSTRAINED", "0") == "1"
+        spec = int(os.environ.get("MRAUDIO_BENCH_SPEC_WIDTH", "4"))
         model = XInstructBLIPConfig(
             vit=ViTConfig(keyframe_interval=kf),
             llm=LlamaConfig(quantization="int8", kv_quant=kv_quant,
                             scan_layers=scan),
+            constrained_decoding=constrained,
+            spec_width=spec,
         )
         data = DataConfig.for_dataset("QVH").replace(video_source="synthetic")
         return model, data, 2, 3

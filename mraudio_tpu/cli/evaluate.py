@@ -46,6 +46,9 @@ def build_config(args):
 
 
 def main(argv=None):
+    from mraudio_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="mraudio_tpu batched inference")
     parser.add_argument("--model", default="X-InstructBLIP")
     parser.add_argument("--model-path", default="", help="converted LLM weights dir")

@@ -13,6 +13,9 @@ import logging
 
 
 def main(argv=None):
+    from mraudio_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="mraudio_tpu finetuning")
     parser.add_argument("--model", default="X-InstructBLIP")
     parser.add_argument("--model-path", default="")

@@ -108,6 +108,9 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int):
 
 
 def main(argv=None):
+    from mraudio_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="mraudio_tpu serving driver")
     parser.add_argument("--model", default="X-InstructBLIP")
     parser.add_argument("--model-path", default="")

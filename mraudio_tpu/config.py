@@ -241,6 +241,20 @@ class XInstructBLIPConfig(_ConfigBase):
     tokens_per_duration: int = 5
     prefix: str = ""
     postfix: str = ""
+    # Grammar-constrained decoding: mask decode logits to the span
+    # grammar "[[start, end], ...]" compiled against the tokenizer
+    # (text/grammar.py), so every generation parses by construction
+    # (invalid_pred_num == 0) — the reference can only regex-repair
+    # malformed outputs after the fact (utils/utils.py:66-132).  Decode
+    # also commits grammar-*forced* tokens speculatively: up to
+    # spec_width-1 single-choice tokens ride along with each free choice
+    # in ONE model pass (infer/generate.py::grammar_generate) — decode is
+    # HBM-bound, so fewer passes = proportionally less decode time, with
+    # token-identical output to spec_width=1.  Off by default: the
+    # reference decodes unconstrained.
+    constrained_decoding: bool = False
+    # Draft width for the speculative step (1 = plain constrained greedy).
+    spec_width: int = 4
     # Optional per-frame saliency head over video Q-Former tokens: enables
     # QVHighlights highlight detection (pred_saliency_scores -> HL-Hit1 /
     # HL-mAP).  Capability beyond the reference, whose models never emit

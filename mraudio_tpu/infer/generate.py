@@ -19,6 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from mraudio_tpu.models.layers import NEG_INF
 from mraudio_tpu.models.llama import LlamaModel, init_cache
 
 
@@ -103,3 +104,177 @@ def greedy_generate(
     )
     state = jax.lax.while_loop(cond, body, state)
     return state[-1]  # (B, max_new_tokens), eos-filled tail
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "max_new_tokens", "eos_id", "spec_width"),
+)
+def grammar_generate(
+    model: LlamaModel,
+    params,
+    prefix_embeds: jax.Array,   # (B, S, D)
+    prefix_mask: jax.Array,     # (B, S) {0,1}
+    max_new_tokens: int,
+    eos_id: int,
+    allowed: jax.Array,         # (NS, V) bool — grammar token mask per state
+    next_state: jax.Array,      # (NS, V) int32 — DFA transition
+    forced: jax.Array,          # (NS,) int32 — single allowed token or -1
+    dist_next: jax.Array,       # (NS, V) int32 — min tokens to finish after t
+    spec_width: int = 4,
+) -> jax.Array:
+    """Grammar-constrained greedy decoding with forced-token speculation.
+
+    Every emitted token is masked to the span grammar compiled in
+    ``text/grammar.py`` — the output *always* parses (the reference can
+    only regex-repair after the fact, ``utils/utils.py:66-132``).  Decode
+    is HBM-bound (each step streams the full weights + KV cache), so
+    steps, not tokens, are what cost time: whenever the grammar state
+    admits exactly one token, that token needs no model choice — each
+    iteration therefore commits 1 free-choice token plus up to
+    ``spec_width - 1`` grammar-forced continuation tokens, and runs ONE
+    model pass over all of them (computing their KV and the logits that
+    pick the next free token).  Identical output to ``spec_width=1``,
+    token for token; rows advance raggedly (per-row cache columns).
+
+    Budget-aware: tokens whose grammar continuation cannot finish within
+    the remaining ``max_new_tokens`` budget are masked out
+    (``dist_next``), so a generation *completes* — shorter windows/lists
+    near the budget edge instead of an unparseable truncation.  If the
+    budget is already too small to finish at all, the distance mask is
+    dropped (best-effort prefix).
+
+    Returns generated ids (B, max_new_tokens), eos-filled after each
+    row's end.
+    """
+    b, s, _ = prefix_embeds.shape
+    W = spec_width
+    assert 1 <= W <= 16, "spec_width: 1..16 (one attention tile)"
+    # + W slack: a draft may overhang the budget; overhanging columns are
+    # never committed (the accept count is capped) so they are attention-
+    # invisible, but the write itself needs allocated columns.
+    max_len = s + max_new_tokens + W
+    cfg = model.cfg
+    num_states, vocab = allowed.shape
+
+    positions = jnp.cumsum(prefix_mask.astype(jnp.int32), axis=-1) - 1
+    positions = jnp.maximum(positions, 0)
+    last_pos = positions[:, -1]
+
+    full_mask = jnp.zeros((b, max_len), jnp.int32).at[:, :s].set(prefix_mask)
+    cache = init_cache(cfg, b, max_len)
+
+    q_idx = jnp.arange(s)[:, None]
+    k_idx = jnp.arange(max_len)[None, :]
+    causal = (k_idx <= q_idx)[None, None]
+    pad = full_mask[:, None, None, :].astype(bool)
+    hidden, cache = model.apply(
+        params, prefix_embeds, causal & pad, positions, cache=cache,
+        cache_index=0, kv_valid=full_mask, causal=True, return_hidden=True,
+    )
+    last_logits = model.apply(
+        params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]
+    ).astype(jnp.float32)[:, -1]                                   # (B, V)
+
+    def masked_pick(states, logits_bv, remaining):
+        """Grammar + budget mask, then argmax.  ``remaining``: (B,)
+        tokens of budget left for the pick and its continuation."""
+        al = allowed[states]                             # (B, V)
+        fits = dist_next[states] <= (remaining - 1)[:, None]
+        ok = al & fits
+        # budget smaller than any completion: fall back to grammar-only
+        ok = jnp.where(jnp.any(ok, axis=-1, keepdims=True), ok, al)
+        return jnp.argmax(
+            jnp.where(ok, logits_bv, NEG_INF), axis=-1
+        ).astype(jnp.int32)
+
+    start = jnp.zeros((b,), jnp.int32)                  # DFA start state
+    first = masked_pick(
+        start, last_logits, jnp.full((b,), max_new_tokens, jnp.int32)
+    )
+    g0 = next_state[start, first]
+
+    tokens0 = jnp.full((b, max_new_tokens + W), eos_id, jnp.int32)
+    rows = jnp.arange(b)[:, None]
+    jpos = jnp.arange(W)[None, :]
+    kcols = jnp.arange(max_len)[None, :]
+
+    def cond(state):
+        it, _, _, _, _, _, _, done, _ = state
+        return (it < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        it, cache, cur_id, g, cur_pos, emitted, mask, done, tokens = state
+
+        # 1. Extend the draft with grammar-forced tokens (static unroll).
+        draft = [cur_id]
+        states = [g]
+        ok = ~done
+        cur_g = g
+        n_valid = ok.astype(jnp.int32)
+        for _ in range(W - 1):
+            f = forced[cur_g]                                    # (B,)
+            ok = ok & (f >= 0)
+            draft.append(jnp.where(ok, f, eos_id))
+            cur_g = jnp.where(ok, next_state[cur_g, jnp.maximum(f, 0)], cur_g)
+            states.append(cur_g)
+            n_valid = n_valid + ok.astype(jnp.int32)
+        draft_ids = jnp.stack(draft, axis=1)                     # (B, W)
+        states_arr = jnp.stack(states, axis=1)                   # (B, W)
+        accept = jnp.clip(n_valid, 0, max_new_tokens - emitted)  # (B,)
+
+        # 2. One model pass over the W draft positions (per-row columns).
+        start_col = s + emitted                                  # (B,)
+        cols = start_col[:, None] + jpos                         # (B, W)
+        pos_w = (cur_pos + 1)[:, None] + jpos                    # (B, W)
+        draft_window = (kcols >= start_col[:, None]) & (
+            kcols < (start_col + W)[:, None]
+        )
+        attend_valid = (mask > 0) | draft_window                 # (B, max_len)
+        # dense-path mask: per-row causal against absolute columns (the
+        # chunked kernel gets the same via kv_valid + q_abs)
+        mask4 = attend_valid[:, None, None, :] & (
+            kcols[:, None, None, :] <= cols[:, None, :, None]
+        )
+        embeds = model.apply(
+            params, method=lambda m, ids: m.embed(ids), ids=draft_ids
+        )
+        logits, new_cache = model.apply(
+            params, embeds, mask4, pos_w, cache=cache,
+            cache_index=start_col, kv_valid=attend_valid.astype(jnp.int32),
+            causal=True,
+        )                                                        # (B, W, V)
+
+        # 3. Commit the accepted prefix; pick the next free-choice token
+        #    from the logits at the last accepted position.
+        commit = jpos < accept[:, None]                          # (B, W)
+        out_col = jnp.where(commit, emitted[:, None] + jpos,
+                            max_new_tokens + W - 1)              # dummy tail
+        tokens = tokens.at[rows, out_col].set(
+            jnp.where(commit, draft_ids, eos_id)
+        )
+        mask = mask.at[rows, cols].max(commit.astype(mask.dtype))
+
+        last = jnp.maximum(accept - 1, 0)
+        g_last = jnp.take_along_axis(states_arr, last[:, None], axis=1)[:, 0]
+        logit_last = jnp.take_along_axis(
+            logits, last[:, None, None], axis=1
+        )[:, 0]                                                  # (B, V)
+        emitted = emitted + accept
+        nxt = masked_pick(g_last, logit_last, max_new_tokens - emitted)
+        done = (
+            done
+            | jnp.any(commit & (draft_ids == eos_id), axis=1)
+            | (emitted >= max_new_tokens)
+        )
+        nxt = jnp.where(done, eos_id, nxt)
+        g = jnp.where(done, g_last, next_state[g_last, nxt])
+        return (it + 1, new_cache, nxt, g, cur_pos + accept, emitted,
+                mask, done, tokens)
+
+    state = (
+        jnp.array(0), cache, first, g0, last_pos,
+        jnp.zeros((b,), jnp.int32), full_mask, jnp.zeros((b,), bool), tokens0,
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    return state[-1][:, :max_new_tokens]

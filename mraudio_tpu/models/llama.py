@@ -185,21 +185,31 @@ class LlamaAttention(nn.Module):
         q = apply_rope(q, positions, cfg.rope_theta)
         k = apply_rope(k, positions, cfg.rope_theta)
 
+        per_row_index = cache is not None and getattr(cache_index, "ndim", 0) == 1
+        if per_row_index:
+            # Row b's tokens land at its own columns — continuous-batching
+            # decode (s == 1) and the speculative multi-position step
+            # (s > 1, infer/generate.py::grammar_generate).  These columns
+            # are also each query's absolute causal position.
+            q_cols = cache_index[:, None] + jnp.arange(s)[None, :]  # (B, S)
+        else:
+            q_cols = None
+
         if cache is not None:
             # cache["k"]: (B, max_len, kv_h, d).  Scalar cache_index writes
             # this call's keys at [cache_index, cache_index + s) for every
-            # row; a (B,)-shaped cache_index writes row b's single token at
-            # its own column (continuous-batching decode, s == 1).
+            # row; a (B,)-shaped cache_index writes row b's s tokens at its
+            # own columns [cache_index[b], cache_index[b] + s) via an XLA
+            # scatter (in-place on the donated decode-loop carry).
             # With kv_quant="int8" the cache stores int8 values + per
             # (row, position, head) fp32 scales — halves decode HBM reads
             # and doubles how many slots fit next to the 7B weights.
             quantized = "k_scale" in cache
 
             def write(dst, val):
-                if getattr(cache_index, "ndim", 0) == 1:
-                    col = jax.nn.one_hot(cache_index, dst.shape[1], dtype=bool)
-                    col = col.reshape(col.shape + (1,) * (dst.ndim - 2))
-                    return jnp.where(col, val.astype(dst.dtype), dst)
+                if per_row_index:
+                    rows = jnp.arange(b)[:, None]
+                    return dst.at[rows, q_cols].set(val.astype(dst.dtype))
                 idx = (0, cache_index) + (0,) * (dst.ndim - 2)
                 return jax.lax.dynamic_update_slice(dst, val.astype(dst.dtype), idx)
 
@@ -254,9 +264,11 @@ class LlamaAttention(nn.Module):
             and ((s > 1 and causal) or (s == 1 and quantized))
         )
         if use_streaming and impl == "pallas" and (
-            jax.default_backend() != "tpu" or s == 1
+            jax.default_backend() != "tpu" or s == 1 or per_row_index
         ):
-            impl = "chunked"  # Mosaic kernels: real TPUs, multi-token only
+            # Mosaic kernels: real TPUs, multi-token, column-0-aligned
+            # queries only (the per-row speculative step needs q_abs).
+            impl = "chunked"
         dtype = jnp.dtype(cfg.dtype)
         if use_streaming:
             from mraudio_tpu.ops.attention import chunked_attention, flash_attention
@@ -281,11 +293,16 @@ class LlamaAttention(nn.Module):
                 # materializing four full-sequence layout copies per
                 # layer.
                 if cache is not None:
-                    unroll = s == 1 or cfg.attention_unroll_prefill
+                    # decode steps and small speculative drafts are one
+                    # static tile; real prefills follow the config flag
+                    unroll = s <= 16 or cfg.attention_unroll_prefill
                 else:
                     unroll = cfg.attention_unroll_train
                 extra = {"unroll_q": unroll, "kv_bshd": True,
                          "q_bshd": True}
+                if causal and per_row_index:
+                    # per-row absolute causal columns (speculative step)
+                    extra["q_abs"] = q_cols
                 if quantized:
                     # Feed the int8 cache directly; the kernel dequants
                     # 2 MB tiles (a full-cache bf16 dequant here costs

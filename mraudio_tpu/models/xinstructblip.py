@@ -45,7 +45,7 @@ from mraudio_tpu.ops.fbank import beats_frontend
 from mraudio_tpu.ops.image import normalize_frames
 from mraudio_tpu.text.prompts import MODALITY_CUES
 from mraudio_tpu.text.tokenizer import ByteTokenizer
-from mraudio_tpu.infer.generate import greedy_generate
+from mraudio_tpu.infer.generate import grammar_generate, greedy_generate
 
 
 class _Ln(nn.Module):
@@ -515,10 +515,36 @@ class XInstructBLIP:
             n_frms=n_frms,
         ))
 
+    def _grammar_arrays(self):
+        """Span-grammar tables for constrained decoding, compiled once
+        against the LLM tokenizer (text/grammar.py); None when
+        ``cfg.constrained_decoding`` is off."""
+        if not self.cfg.constrained_decoding:
+            return None
+        if getattr(self, "_grammar_cache", None) is None:
+            from mraudio_tpu.text.grammar import compile_grammar
+
+            # Float windows only for float time formats; the live
+            # integer formats keep the int-only grammar (the reference
+            # parser coerces float members to -1, text/postprocess.py).
+            tables = compile_grammar(
+                self.llm_tokenizer,
+                allow_float=self.cfg.time_format
+                in ("seconds_floats", "relative_floats"),
+            )
+            self._grammar_cache = {
+                "allowed": jnp.asarray(tables.allowed),
+                "next_state": jnp.asarray(tables.next_state),
+                "forced": jnp.asarray(tables.forced),
+                "dist_next": jnp.asarray(tables.dist_next),
+            }
+        return self._grammar_cache
+
     @functools.partial(jax.jit, static_argnames=("self", "n_frms"))
     def _generate_tokens(
         self, params, video_u8, audio_wave, qformer_ids, qformer_mask,
-        ts_ids, ts_mask, dur_ids, dur_mask, prompt_ids, prompt_mask, n_frms,
+        ts_ids, ts_mask, dur_ids, dur_mask, prompt_ids, prompt_mask,
+        grammar, n_frms,
     ):
         """Whole inference graph — preprocess, encoders, interleave,
         prefill, decode (+ saliency off the same modal tokens) — in ONE
@@ -532,10 +558,18 @@ class XInstructBLIP:
         prompt_emb = self._embed_ids(params, prompt_ids)
         embeds = jnp.concatenate([prefix, prompt_emb], axis=1)
         mask = jnp.concatenate([pmask, prompt_mask], axis=1)
-        tokens = greedy_generate(
-            self.llm, {"params": params["llm"]}, embeds, mask,
-            self.cfg.max_new_tokens, self.llm_tokenizer.eos_token_id,
-        )
+        if self.cfg.constrained_decoding:
+            tokens = grammar_generate(
+                self.llm, {"params": params["llm"]}, embeds, mask,
+                self.cfg.max_new_tokens, self.llm_tokenizer.eos_token_id,
+                grammar["allowed"], grammar["next_state"], grammar["forced"],
+                grammar["dist_next"], spec_width=self.cfg.spec_width,
+            )
+        else:
+            tokens = greedy_generate(
+                self.llm, {"params": params["llm"]}, embeds, mask,
+                self.cfg.max_new_tokens, self.llm_tokenizer.eos_token_id,
+            )
         saliency = None
         if self.cfg.saliency_head:
             # reuse the generate pass's video tokens — no second encode
@@ -575,6 +609,7 @@ class XInstructBLIP:
             jnp.asarray(text.ts_ids), jnp.asarray(text.ts_mask),
             jnp.asarray(text.dur_ids), jnp.asarray(text.dur_mask),
             jnp.asarray(text.prompt_ids), jnp.asarray(text.prompt_mask),
+            self._grammar_arrays(),
             n_frms=n_frms,
         )
         tokens = np.array(tokens)

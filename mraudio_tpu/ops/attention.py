@@ -49,6 +49,7 @@ def chunked_attention(
     v_scale: jax.Array | None = None,
     kv_bshd: bool = False,
     q_bshd: bool = False,
+    q_abs: jax.Array | None = None,     # (B, S) absolute kv columns of q
 ) -> jax.Array:
     """Online-softmax attention in pure XLA: an outer ``lax.map`` over
     query tiles and an inner ``lax.scan`` over kv chunks with running
@@ -80,7 +81,15 @@ def chunked_attention(
     transposed inside the dot, instead of two full-cache (B, H, KV, D)
     layout copies per layer living across the whole attention.
     ``q_bshd=True`` does the same for q and the output (both stay
-    (B, S, H, D) — the decoder's natural activation layout)."""
+    (B, S, H, D) — the decoder's natural activation layout).
+
+    ``q_abs`` gives each query its *absolute* kv-column position per
+    batch row, for calls whose queries do not start at column 0 — the
+    multi-position speculative decode step writes row ``b``'s ``S``
+    draft tokens at columns ``[len_b, len_b + S)`` of the cache and must
+    be causal against those columns, which differ per row.  Tile-static
+    causal skipping is disabled (the positions are traced); decode-time
+    calls scan the whole cache anyway."""
     if q_bshd:
         b, s, h, d = q.shape
     else:
@@ -179,14 +188,20 @@ def chunked_attention(
         for qs in range(0, s, block_q):
             bq = min(block_q, s - qs)
             q_blk = q[:, qs:qs + bq] if q_bshd else q[:, :, qs:qs + bq]
-            q_pos = qs + jnp.arange(bq)[None, None, :, None]
-            q_end = qs + bq - 1
-            if causal:
-                nf = min((q_end + block_k) // block_k, num_full)
-                need_tail = tail_len > 0 and q_end >= num_full * block_k
-            else:
+            if q_abs is not None:
+                # absolute per-row columns: no static diagonal to skip
+                q_pos = q_abs[:, qs:qs + bq][:, None, :, None]
                 nf = num_full
                 need_tail = tail_len > 0
+            else:
+                q_pos = qs + jnp.arange(bq)[None, None, :, None]
+                q_end = qs + bq - 1
+                if causal:
+                    nf = min((q_end + block_k) // block_k, num_full)
+                    need_tail = tail_len > 0 and q_end >= num_full * block_k
+                else:
+                    nf = num_full
+                    need_tail = tail_len > 0
             if tiles:
                 # Order the (data-independent) tiles: without this the
                 # scheduler interleaves them and keeps every tile's fp32
@@ -236,14 +251,24 @@ def chunked_attention(
         q_pads = [(0, 0)] * 4
         q_pads[q_axis] = (0, pad_q)
         q = jnp.pad(q, q_pads)
+        if q_abs is not None:
+            # padding queries attend nothing (their outputs are dropped):
+            # column -1 fails every causal test
+            q_abs = jnp.pad(q_abs, ((0, 0), (0, pad_q)), constant_values=-1)
         s += pad_q
     num_q = s // block_q
 
     def q_tile(qb_idx):
         q_blk = jax.lax.dynamic_slice_in_dim(q, qb_idx * block_q, block_q, q_axis)
-        q_pos = (qb_idx * block_q
-                 + jnp.arange(block_q)[None, None, :, None])  # (1,1,bq,1)
-        q_end = qb_idx * block_q + block_q - 1  # last query position
+        if q_abs is not None:
+            q_pos = jax.lax.dynamic_slice_in_dim(
+                q_abs, qb_idx * block_q, block_q, 1
+            )[:, None, :, None]                               # (B,1,bq,1)
+            q_end = jnp.max(q_pos)                            # traced bound
+        else:
+            q_pos = (qb_idx * block_q
+                     + jnp.arange(block_q)[None, None, :, None])  # (1,1,bq,1)
+            q_end = qb_idx * block_q + block_q - 1  # last query position
 
         def step(carry, c_idx):
             if causal and causal_skip:

@@ -101,6 +101,15 @@ class ByteTokenizer:
     def batch_decode(self, batch, skip_special_tokens: bool = True) -> list[str]:
         return [self.decode(row, skip_special_tokens) for row in np.asarray(batch)]
 
+    def token_strings(self) -> list[str]:
+        """Per-id surface strings (specials -> "") for grammar compilation
+        (text/grammar.py)."""
+        out = [""] * self.vocab_size
+        for b in range(256):
+            out[3 + b] = chr(b)
+        out[self.pad_token_id] = ""
+        return out
+
     def __call__(
         self,
         texts: list[str],
@@ -132,6 +141,36 @@ class HFTokenizerWrapper:
 
     def batch_decode(self, batch, skip_special_tokens: bool = True) -> list[str]:
         return [self.decode(row, skip_special_tokens) for row in np.asarray(batch)]
+
+    def token_strings(self) -> list[str]:
+        """Per-id surface strings for grammar compilation
+        (text/grammar.py): sentencepiece "▁"/byte-level "Ġ" markers become
+        spaces, "<0xNN>" byte-fallback pieces become their character, and
+        every special id maps to "" (EOS is wired explicitly by the
+        grammar compiler)."""
+        pieces = self.tok.convert_ids_to_tokens(list(range(self.vocab_size)))
+        special = set(getattr(self.tok, "all_special_ids", []) or [])
+        special |= {
+            i for i in (self.pad_token_id, self.bos_token_id, self.eos_token_id)
+            if i is not None
+        }
+        out = []
+        for tid, piece in enumerate(pieces):
+            if piece is None or tid in special:
+                out.append("")
+                continue
+            if (
+                len(piece) == 6
+                and piece.startswith("<0x")
+                and piece.endswith(">")
+            ):
+                try:
+                    out.append(chr(int(piece[3:5], 16)))
+                    continue
+                except ValueError:
+                    pass
+            out.append(piece.replace("▁", " ").replace("Ġ", " "))
+        return out
 
     def __call__(self, texts, max_length, padding_side="right",
                  truncation_side="right", add_special_tokens=False) -> BatchEncoding:
