@@ -80,14 +80,28 @@ def make_profile(name: str):
         # identical by construction).
         constrained = os.environ.get("MRAUDIO_BENCH_CONSTRAINED", "0") == "1"
         spec = int(os.environ.get("MRAUDIO_BENCH_SPEC_WIDTH", "4"))
+        # MRAUDIO_BENCH_VIDEO_WIRE=yuv420 ships I420 planes (half the
+        # host->device video bytes; identical pixels up to 4:2:0 chroma,
+        # which the source video had already discarded).
+        wire = os.environ.get("MRAUDIO_BENCH_VIDEO_WIRE", "rgb")
+        # MRAUDIO_BENCH_KV_KEEP=N (N>0) turns on post-prefill KV
+        # compaction (config.LlamaConfig.kv_keep) — an approximation, so
+        # never the headline configuration.
+        keep = int(os.environ.get("MRAUDIO_BENCH_KV_KEEP", "0"))
+        # MRAUDIO_BENCH_QUANT overrides the weight format (int8 default;
+        # int4 halves weight bytes again — also an accuracy trade).
+        quant = os.environ.get("MRAUDIO_BENCH_QUANT", "int8")
         model = XInstructBLIPConfig(
             vit=ViTConfig(keyframe_interval=kf),
-            llm=LlamaConfig(quantization="int8", kv_quant=kv_quant,
-                            scan_layers=scan),
+            llm=LlamaConfig(quantization=quant, kv_quant=kv_quant,
+                            scan_layers=scan, kv_keep=keep),
             constrained_decoding=constrained,
             spec_width=spec,
+            video_wire=wire,
         )
-        data = DataConfig.for_dataset("QVH").replace(video_source="synthetic")
+        data = DataConfig.for_dataset("QVH").replace(
+            video_source="synthetic", video_wire=wire
+        )
         return model, data, 2, 3
 
     if name == "charades":

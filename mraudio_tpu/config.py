@@ -146,9 +146,16 @@ class LlamaConfig(_ConfigBase):
     rms_norm_eps: float = 1e-6
     max_seq_len: int = 4096
     dtype: str = "bfloat16"
-    # "int8" quantizes base weights (the TPU counterpart of load_in_8bit);
-    # "none" keeps them in `dtype`.
+    # "int8" quantizes base weights per output channel (the TPU
+    # counterpart of load_in_8bit); "int4" quantizes group-wise along the
+    # input dim (int4_group_size) — HALF int8's weight bytes, so the
+    # HBM-bound decode reads weights twice as fast and a 7B model leaves
+    # ~3.3 GB more HBM for batch/KV.  int4 is an accuracy trade the
+    # reference never ships (validate on real weights before serving);
+    # "none" keeps `dtype`.
     quantization: str = "none"
+    # Input-dim group size for quantization="int4" (AWQ/GPTQ convention).
+    int4_group_size: int = 128
     # With quantization="int8": also quantize activations dynamically and
     # run a true int8 x int8 -> int32 MXU dot (W8A8, no outlier
     # decomposition).  Off by default — weight-only int8 keeps reference
@@ -158,6 +165,25 @@ class LlamaConfig(_ConfigBase):
     # per-head absmax-quantized values + fp32 scales — halves decode HBM
     # reads and doubles the batch/slot count that fits beside the params.
     kv_quant: str = "none"
+    # Post-prefill KV compaction (0 = off): keep only the `kv_keep`
+    # highest-scoring prefix positions PER LAYER before decoding, scored
+    # by the attention mass the last `kv_keep_obs` prompt tokens put on
+    # each position during prefill (SnapKV-style observation window; the
+    # layer-adaptive audio/video budget split of AccKV, arXiv:2511.11106,
+    # emerges from per-layer scores rather than a fixed modality quota —
+    # the TPU-native formulation keeps the kept-count static per layer so
+    # every shape stays compile-time fixed, while WHICH audio/video
+    # positions survive is data-dependent per layer and row).  The first
+    # `kv_keep_sink` positions (attention sinks) and the observation
+    # window itself (the text prompt carrying the query) are always kept.
+    # Decode then runs over a (kv_keep + max_new_tokens)-column cache:
+    # at QVH full size 5.3k -> ~1.5k columns cuts per-step KV reads ~3.5x
+    # and shrinks a serving slot's steady-state cache the same factor.
+    # An approximation (exact only for positions the prompt never needed)
+    # — validate on real weights before serving; off for parity runs.
+    kv_keep: int = 0
+    kv_keep_obs: int = 32
+    kv_keep_sink: int = 4
     # rematerialize decoder blocks under grad (reference
     # gradient_checkpointing_enable, models/xinstructblip.py:157)
     grad_checkpoint: bool = False
@@ -260,6 +286,15 @@ class XInstructBLIPConfig(_ConfigBase):
     # HL-mAP).  Capability beyond the reference, whose models never emit
     # saliency even though its scorer supports it (eval/mr_eval.py:396-406).
     saliency_head: bool = False
+    # Host→device video wire format: "rgb" ships uint8 (B,T,H,W,3);
+    # "yuv420" ships the codec-native I420 planes packed as uint8
+    # (B,T,H*3/2,W) — HALF the bytes over the transfer link — and
+    # reconstructs RGB on device (ops/image.py::yuv420_to_rgb), fused
+    # into the same jit as CLIP normalization.  Web video is stored
+    # 4:2:0, so on decode-direct pipelines this is lossless vs the
+    # source; packing host-side RGB loses only the chroma the codec
+    # had already discarded.
+    video_wire: str = "rgb"
     # Frame-encoder batching: process this many clips' frames per ViT
     # pass (lax.map over clip groups).  Bounds the encoder's fp32
     # attention-logits temp to one group — at QVH full size the whole
@@ -340,6 +375,12 @@ class DataConfig(_ConfigBase):
     # Video decode source: "native" (C++ libav), "synthetic" (procedural,
     # for tests/bench), "npy" (pre-extracted arrays).
     video_source: str = "native"
+    # Wire format the dataset emits: "rgb" (T,H,W,3) or "yuv420" packed
+    # I420 (T,H*3/2,W) — half the host→device bytes; the native decoder
+    # copies the codec planes directly (no RGB conversion at all).  Must
+    # match the model's ``video_wire`` ("yuv420" model + "rgb" data also
+    # works: the model packs host-side).
+    video_wire: str = "rgb"
     audio: AudioFrontendConfig = field(default_factory=AudioFrontendConfig)
     num_chunks: int = 1
     chunk_idx: int = 0
@@ -395,6 +436,11 @@ class TrainConfig(_ConfigBase):
     # prefetch threads for the loaders (the reference's --num-workers;
     # threads not processes — decode releases the GIL in C++)
     num_workers: int = 2
+    # Train-time RandomResizedCrop(0.9-1.0)+flip, the reference's
+    # AlproVideoTrainProcessor transform (processors/
+    # alpro_processors.py:40-61): parameters sampled host-side per clip,
+    # applied on device inside the jitted step (ops/image.py).
+    augment: bool = True
     seed: int = 42
     output_dir: str = "output"
     resume_ckpt_path: str = ""

@@ -135,8 +135,15 @@ class MRDataset:
     def _blank_sample(self, index: int) -> Sample:
         ann = self.annotation[index]
         size = self.cfg.image_size
+        if self.cfg.video_wire == "yuv420":
+            # black in I420 is Y=0, U=V=128 — match what a real black
+            # clip would pack to
+            vid = np.zeros((self.cfg.n_frms, size * 3 // 2, size), np.uint8)
+            vid[:, size:, :] = 128
+        else:
+            vid = np.zeros((self.cfg.n_frms, size, size, 3), np.uint8)
         return Sample(
-            video=np.zeros((self.cfg.n_frms, size, size, 3), np.uint8),
+            video=vid,
             audio=np.zeros(self.audio_num_samples, np.int16),
             timestamps=np.zeros(self.cfg.n_frms, np.int32),
             duration=ann["duration"],
@@ -167,9 +174,16 @@ class MRDataset:
         indices = sample_frame_indices(
             vlen, self.cfg.n_frms, self.sampling, rng=rng
         )
-        frames = self.video_source.get_batch(
-            path, indices, self.cfg.image_size, self.cfg.image_size, start, end
-        )
+        if self.cfg.video_wire == "yuv420":
+            frames = self.video_source.get_batch_i420(
+                path, indices, self.cfg.image_size, self.cfg.image_size,
+                start, end,
+            )
+        else:
+            frames = self.video_source.get_batch(
+                path, indices, self.cfg.image_size, self.cfg.image_size,
+                start, end,
+            )
         waveform = self.audio_source.load(
             path, self.audio_num_samples, self.cfg.audio.sampling_rate
         )

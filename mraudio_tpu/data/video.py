@@ -47,6 +47,26 @@ class VideoSource:
         Returns uint8 (T, H, W, 3)."""
         raise NotImplementedError
 
+    def get_batch_i420(
+        self,
+        path: str,
+        indices: np.ndarray,
+        height: int,
+        width: int,
+        start: float | None = None,
+        end: float | None = None,
+    ) -> np.ndarray:
+        """Like :meth:`get_batch` but in the I420 wire layout
+        (T, H*3//2, W) uint8 — half the host→device bytes
+        (config.video_wire="yuv420").  Default packs the RGB decode; the
+        native source overrides with a direct codec-plane copy (video is
+        stored 4:2:0, so that path never touches RGB at all)."""
+        from mraudio_tpu.ops.image import rgb_to_yuv420
+
+        return rgb_to_yuv420(
+            self.get_batch(path, indices, height, width, start, end)
+        )
+
 
 class SyntheticVideoSource(VideoSource):
     """Deterministic procedural video: smooth moving gradients keyed on
@@ -131,6 +151,15 @@ class NativeVideoSource(VideoSource):
         from mraudio_tpu.data import native_bindings
 
         return native_bindings.decode_frames(
+            self._lib, path, np.asarray(indices, dtype=np.int64), height, width,
+            start if start is not None else -1.0,
+            end if end is not None else -1.0,
+        )
+
+    def get_batch_i420(self, path, indices, height, width, start=None, end=None):
+        from mraudio_tpu.data import native_bindings
+
+        return native_bindings.decode_frames_i420(
             self._lib, path, np.asarray(indices, dtype=np.int64), height, width,
             start if start is not None else -1.0,
             end if end is not None else -1.0,

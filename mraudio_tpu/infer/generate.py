@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from mraudio_tpu.models.layers import NEG_INF
-from mraudio_tpu.models.llama import LlamaModel, init_cache
+from mraudio_tpu.models.llama import LlamaModel, compact_cache, init_cache
 
 
 @functools.partial(
@@ -37,8 +37,11 @@ def greedy_generate(
 ) -> jax.Array:
     """Returns generated ids (B, max_new_tokens)."""
     b, s, _ = prefix_embeds.shape
-    max_len = s + max_new_tokens
     cfg = model.cfg
+    # With cfg.kv_keep the prefill cache covers exactly the prefix; the
+    # decode loop then runs over the compacted (keep + budget) cache.
+    kv_keep = min(cfg.kv_keep, s) if cfg.kv_keep else 0
+    alloc_len = s if kv_keep else s + max_new_tokens
 
     # Positions: mask-cumsum over the prefix, then +1 per generated token.
     positions = jnp.cumsum(prefix_mask.astype(jnp.int32), axis=-1) - 1
@@ -46,13 +49,13 @@ def greedy_generate(
     last_pos = positions[:, -1]
 
     # Validity over cache slots: prefix mask then ones as steps land.
-    full_mask = jnp.zeros((b, max_len), jnp.int32).at[:, :s].set(prefix_mask)
+    full_mask = jnp.zeros((b, alloc_len), jnp.int32).at[:, :s].set(prefix_mask)
 
-    cache = init_cache(cfg, b, max_len)
+    cache = init_cache(cfg, b, alloc_len)
 
     # Prefill: causal within the prefix, restricted to valid slots.
     q_idx = jnp.arange(s)[:, None]
-    k_idx = jnp.arange(max_len)[None, :]
+    k_idx = jnp.arange(alloc_len)[None, :]
     causal = (k_idx <= q_idx)[None, None]                      # (1,1,S,max)
     pad = full_mask[:, None, None, :].astype(bool)             # (B,1,1,max)
     # return_hidden: the full-sequence lm_head would materialize a
@@ -66,6 +69,16 @@ def greedy_generate(
         params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]
     ).astype(jnp.float32)
     next_id = jnp.argmax(last_logits[:, -1], axis=-1).astype(jnp.int32)  # (B,)
+
+    if kv_keep:
+        # Keep the top-scoring prefix columns per layer (per-layer
+        # `valid` rides in the cache); the loop's shared mask covers the
+        # kept region, each layer refines it.
+        cache = compact_cache(cfg, cache, full_mask, s, max_new_tokens)
+        s = kv_keep
+        full_mask = jnp.zeros(
+            (b, kv_keep + max_new_tokens), jnp.int32
+        ).at[:, :kv_keep].set(1)
 
     # while_loop so the whole batch stops as soon as every row has hit
     # EOS — real spans are ~10 tokens against a 64-token budget, so the
@@ -150,22 +163,23 @@ def grammar_generate(
     b, s, _ = prefix_embeds.shape
     W = spec_width
     assert 1 <= W <= 16, "spec_width: 1..16 (one attention tile)"
+    cfg = model.cfg
+    num_states, vocab = allowed.shape
     # + W slack: a draft may overhang the budget; overhanging columns are
     # never committed (the accept count is capped) so they are attention-
     # invisible, but the write itself needs allocated columns.
-    max_len = s + max_new_tokens + W
-    cfg = model.cfg
-    num_states, vocab = allowed.shape
+    kv_keep = min(cfg.kv_keep, s) if cfg.kv_keep else 0
+    alloc_len = s if kv_keep else s + max_new_tokens + W
 
     positions = jnp.cumsum(prefix_mask.astype(jnp.int32), axis=-1) - 1
     positions = jnp.maximum(positions, 0)
     last_pos = positions[:, -1]
 
-    full_mask = jnp.zeros((b, max_len), jnp.int32).at[:, :s].set(prefix_mask)
-    cache = init_cache(cfg, b, max_len)
+    full_mask = jnp.zeros((b, alloc_len), jnp.int32).at[:, :s].set(prefix_mask)
+    cache = init_cache(cfg, b, alloc_len)
 
     q_idx = jnp.arange(s)[:, None]
-    k_idx = jnp.arange(max_len)[None, :]
+    k_idx = jnp.arange(alloc_len)[None, :]
     causal = (k_idx <= q_idx)[None, None]
     pad = full_mask[:, None, None, :].astype(bool)
     hidden, cache = model.apply(
@@ -175,6 +189,14 @@ def grammar_generate(
     last_logits = model.apply(
         params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]
     ).astype(jnp.float32)[:, -1]                                   # (B, V)
+
+    if kv_keep:
+        cache = compact_cache(cfg, cache, full_mask, s, max_new_tokens + W)
+        s = kv_keep
+        full_mask = jnp.zeros(
+            (b, kv_keep + max_new_tokens + W), jnp.int32
+        ).at[:, :kv_keep].set(1)
+    max_len = s + max_new_tokens + W
 
     def masked_pick(states, logits_bv, remaining):
         """Grammar + budget mask, then argmax.  ``remaining``: (B,)

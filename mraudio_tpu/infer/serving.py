@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mraudio_tpu.models.llama import LlamaModel, init_cache
+from mraudio_tpu.models.llama import LlamaModel, compact_cache, init_cache
 
 
 @dataclasses.dataclass
@@ -59,9 +59,29 @@ class ContinuousBatcher:
         self.max_new_tokens = max_new_tokens
         self.eos_id = eos_id
         self.max_slots = max_slots
-        self.max_len = prefix_len + max_new_tokens
+        # cfg.kv_keep: each request's prefill cache is compacted to the
+        # top-keep columns before it enters a slot, so a slot's
+        # steady-state region is (keep + budget) columns — at QVH full
+        # size (5.3k -> ~1.5k) that is ~3.5x the slot count in the same
+        # HBM, and every decode step reads ~3.5x less KV.
+        self.kv_keep = (
+            min(model.cfg.kv_keep, prefix_len) if model.cfg.kv_keep else 0
+        )
+        self.slot_prefix = self.kv_keep or prefix_len
+        self.max_len = self.slot_prefix + max_new_tokens
 
         self.cache = init_cache(model.cfg, max_slots, self.max_len)
+        if self.kv_keep:
+            # compacted slot caches carry a per-layer `valid` leaf — the
+            # shared cache needs the same tree structure for _write_slot
+            vshape = (max_slots, self.max_len)
+            if model.cfg.scan_layers:
+                self.cache["valid"] = jnp.zeros(
+                    (model.cfg.num_layers,) + vshape, jnp.int32
+                )
+            else:
+                for layer in self.cache:
+                    layer["valid"] = jnp.zeros(vshape, jnp.int32)
         self.valid = np.zeros((max_slots, self.max_len), np.int32)
         self.positions = np.zeros((max_slots,), np.int32)  # last RoPE position
         self.lengths = np.full((max_slots,), prefix_len, np.int32)  # next write col
@@ -79,12 +99,13 @@ class ContinuousBatcher:
     def _prefill_fn(self, params, embeds, prefix_mask):
         """Batch-of-1 prefill over a cache sized to this slot's region."""
         s = self.prefix_len
+        alloc = s if self.kv_keep else self.max_len
         positions = jnp.maximum(jnp.cumsum(prefix_mask, axis=-1) - 1, 0)
         q_idx = jnp.arange(s)[:, None]
-        k_idx = jnp.arange(self.max_len)[None, :]
-        pmask_full = jnp.zeros((1, self.max_len), jnp.int32).at[:, :s].set(prefix_mask)
+        k_idx = jnp.arange(alloc)[None, :]
+        pmask_full = jnp.zeros((1, alloc), jnp.int32).at[:, :s].set(prefix_mask)
         attend = ((k_idx <= q_idx)[None, None]) & pmask_full[:, None, None, :].astype(bool)
-        cache = init_cache(self.model.cfg, 1, self.max_len)
+        cache = init_cache(self.model.cfg, 1, alloc)
         # return_hidden + last-position lm_head: the full-sequence vocab
         # logits are never read past [:, -1] (see infer/generate.py).
         hidden, cache = self.model.apply(
@@ -95,6 +116,10 @@ class ContinuousBatcher:
             params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]
         ).astype(jnp.float32)
         next_id = jnp.argmax(last_logits[:, -1], axis=-1).astype(jnp.int32)
+        if self.kv_keep:
+            cache = compact_cache(
+                self.model.cfg, cache, pmask_full, s, self.max_new_tokens
+            )
         return cache, next_id[0], positions[0, -1]
 
     def _write_slot_fn(self, cache, one_cache, slot):
@@ -138,9 +163,14 @@ class ContinuousBatcher:
         )
         self.cache = self._write_slot(self.cache, one_cache, slot)
         self.valid[slot] = 0
-        self.valid[slot, : self.prefix_len] = np.asarray(request.prefix_mask)
+        if self.kv_keep:
+            # kept columns: the shared mask covers the region; each
+            # layer's own `valid` leaf (in the cache) refines it
+            self.valid[slot, : self.slot_prefix] = 1
+        else:
+            self.valid[slot, : self.prefix_len] = np.asarray(request.prefix_mask)
         self.positions[slot] = int(last_pos)
-        self.lengths[slot] = self.prefix_len
+        self.lengths[slot] = self.slot_prefix
         self.cur_ids[slot] = int(first_id)
         self.emitted[slot] = []
         self.slot_request[slot] = request.request_id

@@ -31,7 +31,8 @@ def cast_params_for_inference(params, dtype=jnp.bfloat16):
             any(s in n for s in _KEEP_FP32_SCOPES) for n in names[:-1]
         ):
             return leaf
-        if names[-1] == "scale":  # quant / RMSNorm scales
+        if names[-1] == "scale" or names[-1].endswith("_scale"):
+            # quant scales (int8 `scale`, int4 `w_int4_scale`) / RMSNorm
             return leaf
         return leaf.astype(dtype)
 

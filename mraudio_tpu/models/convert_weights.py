@@ -312,6 +312,55 @@ def quantize_llama_int8(params: dict) -> dict:
     return fix(flat)
 
 
+def quantize_llama_int4(params: dict, group_size: int = 128) -> dict:
+    """Float param tree → group-wise int4 weights + per-(group, out)
+    fp32 scales (``LlamaConfig.quantization="int4"``).  Symmetric absmax
+    per group along the input dim (the AWQ/GPTQ grouping convention);
+    LoRA/norm/embedding params pass through and ``lm_head`` stays float
+    like the int8 path."""
+    import jax
+    import jax.numpy as jnp
+
+    def visit(path, leaf):
+        names = [str(getattr(p, "key", p)) for p in path]
+        if "lm_head" in names:
+            return leaf
+        if names[-1] == "kernel" and any(n.endswith("_proj") for n in names):
+            inf, outf = leaf.shape
+            if inf % group_size:
+                raise ValueError(
+                    f"group_size={group_size} must divide in_features={inf}"
+                )
+            grouped = np.asarray(leaf, np.float32).reshape(
+                inf // group_size, group_size, outf
+            )
+            scale = np.abs(grouped).max(axis=1) / 7.0
+            scale = np.where(scale == 0, 1.0, scale)
+            q = np.clip(np.round(grouped / scale[:, None, :]), -8, 7)
+            return {
+                "w_int4": jnp.asarray(q, jnp.int4),
+                "w_int4_scale": scale.astype(np.float32),
+            }
+        return leaf
+
+    flat = jax.tree_util.tree_map_with_path(visit, params)
+
+    def fix(tree):
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                if (isinstance(v, dict)
+                        and set(v) == {"w_int4", "w_int4_scale"}
+                        and k == "kernel"):
+                    out.update(v)
+                else:
+                    out[k] = fix(v)
+            return out
+        return tree
+
+    return fix(flat)
+
+
 # ---------------------------------------------------------------------------
 # BEATs
 # ---------------------------------------------------------------------------
@@ -456,6 +505,10 @@ def load_pretrained_params(model, cfg) -> dict:
             converted = convert_videollama(sd, model.cfg)
             if model.cfg.llm.quantization == "int8" and "llm" in converted:
                 converted["llm"] = quantize_llama_int8(converted["llm"])
+            elif model.cfg.llm.quantization == "int4" and "llm" in converted:
+                converted["llm"] = quantize_llama_int4(
+                    converted["llm"], model.cfg.llm.int4_group_size
+                )
             if model.cfg.llm.scan_layers and "llm" in converted:
                 converted["llm"] = stack_llm_layers(
                     converted["llm"], model.cfg.llm.num_layers
@@ -494,6 +547,8 @@ def load_pretrained_params(model, cfg) -> dict:
         llm = convert_llama_hf(sd, cfg.model.llm)
         if cfg.model.llm.quantization == "int8":
             llm = quantize_llama_int8(llm)
+        elif cfg.model.llm.quantization == "int4":
+            llm = quantize_llama_int4(llm, cfg.model.llm.int4_group_size)
         if cfg.model.llm.scan_layers:
             llm = stack_llm_layers(llm, cfg.model.llm.num_layers)
         overlay(params["llm"], llm)

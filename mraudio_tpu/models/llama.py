@@ -128,6 +128,41 @@ class LlamaLinear(nn.Module):
                     preferred_element_type=jnp.float32,
                 )
                 y = (acc * scale).astype(dtype)
+        elif self.cfg.quantization == "int4" and self.quantize_ok:
+            # Group-wise int4 (AWQ/GPTQ-style): weights live as
+            # (groups, group, out) int4 with one fp32 scale per
+            # (group, out).  The dot runs per group (a G-batched matmul
+            # whose int4→bf16 convert XLA fuses into the operand read —
+            # the same pattern as the int8 path), scales apply to the
+            # f32 partial sums, then groups reduce.  Weight HBM traffic
+            # is half of int8's: the decode sweep reads 0.5 byte/param.
+            g = self.cfg.int4_group_size
+            if in_features % g:
+                raise ValueError(
+                    f"int4_group_size={g} must divide in_features={in_features}"
+                )
+            ngroups = in_features // g
+            w_q = self.param(
+                "w_int4",
+                nn.initializers.zeros_init(),
+                (ngroups, g, self.features),
+                jnp.int4,
+            )
+            scale = self.param(
+                "w_int4_scale",
+                nn.initializers.constant(1.0 / 7.0),
+                (ngroups, self.features),
+                jnp.float32,
+            )
+            # XLA:CPU's DotThunk can't execute *batched* bf16 dots
+            # (fine on the MXU); tests/debug runs take f32 operands.
+            op_dtype = dtype if jax.default_backend() == "tpu" else jnp.float32
+            xg = x.astype(op_dtype).reshape(x.shape[:-1] + (ngroups, g))
+            acc = jnp.einsum(
+                "...gi,gio->...go", xg, w_q.astype(op_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            y = (acc * scale).sum(axis=-2).astype(dtype)
         else:
             kernel = self.param(
                 "kernel",
@@ -236,6 +271,18 @@ class LlamaAttention(nn.Module):
                 }
                 k_full, v_full = new_cache["k"], new_cache["v"]
                 k_scale = v_scale = None
+            if "valid" in cache:
+                # Compacted cache (compact_cache): per-LAYER validity of
+                # the kept columns rides in the cache itself — layers
+                # keep different positions, so the caller's shared mask
+                # cannot express it.  New tokens are valid everywhere.
+                new_cache["valid"] = write(
+                    cache["valid"], jnp.ones((b, s), cache["valid"].dtype)
+                )
+                layer_valid = new_cache["valid"]
+                if kv_valid is not None:
+                    kv_valid = kv_valid * layer_valid
+                mask = mask & (layer_valid[:, None, None, :] > 0)
         else:
             new_cache = None
             k_full, v_full = k, v
@@ -249,6 +296,38 @@ class LlamaAttention(nn.Module):
             if quantized:
                 k_scale = jnp.repeat(k_scale, rep, axis=2)
                 v_scale = jnp.repeat(v_scale, rep, axis=2)
+
+        if (
+            cfg.kv_keep > 0 and cache is not None and not per_row_index
+            and s > 1 and "valid" not in cache
+        ):
+            # Prefill under KV compaction: score every cache column by
+            # the softmax mass the last `kv_keep_obs` prefix queries (the
+            # text prompt) put on it — the SnapKV observation-window
+            # statistic compact_cache consumes.  One extra (B, H, W, KV)
+            # logits tile per layer (~40 MB at QVH full size), summed
+            # over heads+window immediately.
+            w_obs = min(cfg.kv_keep_obs, s)
+            obs_q = q[:, s - w_obs:]
+            obs = jnp.einsum(
+                "bwhd,bkhd->bhwk", obs_q, k_full.astype(obs_q.dtype),
+                preferred_element_type=jnp.float32,
+            ) * (d ** -0.5)
+            if quantized:
+                obs = obs * k_scale.transpose(0, 2, 1)[:, :, None, :]
+            kv_cols = jnp.arange(k_full.shape[1])[None, None, None, :]
+            q_cols_obs = (s - w_obs) + jnp.arange(w_obs)[None, None, :, None]
+            ok = (kv_cols <= q_cols_obs)
+            if kv_valid is not None:
+                ok = ok & (kv_valid[:, None, None, :] > 0)
+            obs = jnp.where(ok, obs, NEG_INF)
+            probs = jax.nn.softmax(obs, axis=-1)
+            if kv_valid is not None:
+                # padding queries (interior timestamp slots / short rows)
+                # contribute nothing
+                qv = jax.lax.dynamic_slice_in_dim(kv_valid, s - w_obs, w_obs, 1)
+                probs = probs * qv[:, None, :, None].astype(probs.dtype)
+            new_cache["obs_score"] = probs.sum(axis=(1, 2))     # (B, KV)
 
         # Memory-efficient attention for multi-token calls
         # (prefill/training).  Decode steps (s == 1) use the dense path
@@ -527,6 +606,65 @@ class LlamaModel(nn.Module):
         # fp32 logits (reference CastOutputToFloat).
         logits = self.lm_head(x).astype(jnp.float32)
         return logits, (new_cache if cache is not None else None)
+
+
+def _compact_layer(layer: dict, kv_valid, keep: int, sink: int, obs: int,
+                   prefix_len: int, extra_cols: int) -> dict:
+    """Top-``keep`` gather of one layer's cache columns by its prefill
+    observation-window scores (``LlamaAttention`` ``obs_score``).  The
+    first ``sink`` columns (attention sinks) and the last ``obs`` prefix
+    columns (the text prompt) are always kept; invalid columns lose every
+    tie.  Returns a fresh cache dict with KV axis ``keep + extra_cols``
+    and a per-layer ``valid`` mask (rows with fewer than ``keep`` valid
+    columns mark the surplus invalid)."""
+    score = layer["obs_score"][:, :prefix_len].astype(jnp.float32)
+    valid = kv_valid[:, :prefix_len] > 0
+    col = jnp.arange(prefix_len)
+    protect = (col < sink) | (col >= prefix_len - obs)
+    score = jnp.where(protect[None, :], jnp.float32(1e30), score)
+    score = jnp.where(valid, score, jnp.float32(-1e30))
+    _, idx = jax.lax.top_k(score, keep)                     # (B, keep)
+    idx = jnp.sort(idx, axis=-1)  # original order (ties/debuggability)
+
+    def gather(x):
+        ix = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+        g = jnp.take_along_axis(x[:, :prefix_len], ix, axis=1)
+        pads = [(0, 0)] * g.ndim
+        pads[1] = (0, extra_cols)
+        return jnp.pad(g, pads)
+
+    new = {k: gather(layer[k]) for k in ("k", "v", "k_scale", "v_scale")
+           if k in layer}
+    new["valid"] = gather(kv_valid.astype(jnp.int32))
+    return new
+
+
+def compact_cache(cfg: LlamaConfig, cache, kv_valid, prefix_len: int,
+                  extra_cols: int):
+    """Post-prefill KV compaction (``cfg.kv_keep``; see config.py).
+
+    ``cache`` is the prefill cache whose layers carry ``obs_score``
+    (written when ``cfg.kv_keep > 0``); ``kv_valid`` the (B, KV) prefix
+    validity.  Selection is per layer — the layer-adaptive focusing of
+    AccKV (arXiv:2511.11106) with a static per-layer budget so every
+    shape stays compile-time fixed.  Returns a cache with
+    ``keep + extra_cols`` columns per layer whose per-layer ``valid``
+    mask rides in the cache (``LlamaAttention`` consumes it)."""
+    keep = min(cfg.kv_keep, prefix_len)
+    # Protected regions clamp to the budget (tiny prefixes in tests);
+    # the observation window is what the attention side scored with.
+    sink = min(cfg.kv_keep_sink, keep)
+    obs = min(cfg.kv_keep_obs, prefix_len, max(keep - sink, 0))
+    if isinstance(cache, dict):  # scan_layers: stacked (L, ...) leaves
+        return jax.vmap(
+            lambda lay: _compact_layer(
+                lay, kv_valid, keep, sink, obs, prefix_len, extra_cols
+            )
+        )(cache)
+    return [
+        _compact_layer(layer, kv_valid, keep, sink, obs, prefix_len, extra_cols)
+        for layer in cache
+    ]
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int):

@@ -53,7 +53,7 @@ from mraudio_tpu.models.eva_vit import EvaViT
 from mraudio_tpu.models.layers import positions_from_mask
 from mraudio_tpu.models.llama import LlamaModel
 from mraudio_tpu.ops.fbank import beats_frontend
-from mraudio_tpu.ops.image import normalize_frames
+from mraudio_tpu.ops.image import augment_and_normalize, normalize_frames
 from mraudio_tpu.text.tokenizer import ByteTokenizer
 from dataclasses import dataclass, field
 
@@ -227,9 +227,17 @@ class VideoLLaMA:
         )
 
     @functools.partial(jax.jit, static_argnames=("self", "n_frms"))
-    def _prefix(self, params, video_u8, audio_wave, n_frms):
+    def _prefix(self, params, video_u8, audio_wave, n_frms, crop_params=None):
         cfg = self.cfg
-        frames = normalize_frames(video_u8, dtype=jnp.dtype(cfg.vit.dtype))
+        if crop_params is not None:
+            # train-time RandomResizedCrop+flip on device (Trainer
+            # contract; see ops/image.py::sample_crop_params)
+            frames = augment_and_normalize(
+                video_u8, crop_params, cfg.vit.image_size,
+                dtype=jnp.dtype(cfg.vit.dtype),
+            )
+        else:
+            frames = normalize_frames(video_u8, dtype=jnp.dtype(cfg.vit.dtype))
         b, t = frames.shape[:2]
         folded = frames.reshape((b * t,) + frames.shape[2:])
         feats = self.vit.apply({"params": params["vit"]}, folded)
@@ -279,8 +287,10 @@ class VideoLLaMA:
 
     @functools.partial(jax.jit, static_argnames=("self", "n_frms"))
     def _loss_fn(self, params, video_u8, audio_wave, concat_ids, concat_mask,
-                 labels, n_frms):
-        prefix, pmask = self._prefix(params, video_u8, audio_wave, n_frms)
+                 labels, crop_params=None, *, n_frms):
+        prefix, pmask = self._prefix(
+            params, video_u8, audio_wave, n_frms, crop_params=crop_params
+        )
         text_emb = self._embed_ids(params, concat_ids)
         embeds = jnp.concatenate([prefix, text_emb], axis=1)
         mask = jnp.concatenate([pmask, concat_mask], axis=1)

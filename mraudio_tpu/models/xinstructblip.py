@@ -42,7 +42,12 @@ from mraudio_tpu.models.layers import LayerNormFp32, positions_from_mask
 from mraudio_tpu.models.llama import LlamaModel
 from mraudio_tpu.models.qformer import QFormer
 from mraudio_tpu.ops.fbank import beats_frontend
-from mraudio_tpu.ops.image import normalize_frames
+from mraudio_tpu.ops.image import (
+    augment_and_normalize,
+    normalize_frames,
+    rgb_to_yuv420,
+    yuv420_to_rgb,
+)
 from mraudio_tpu.text.prompts import MODALITY_CUES
 from mraudio_tpu.text.tokenizer import ByteTokenizer
 from mraudio_tpu.infer.generate import grammar_generate, greedy_generate
@@ -340,8 +345,13 @@ class XInstructBLIP:
     # Device computation
     # ------------------------------------------------------------------
 
-    def _encode_modality_tokens(self, params, video_u8, audio_wave, qformer_ids, qformer_mask, n_frms):
+    def _encode_modality_tokens(self, params, video_u8, audio_wave, qformer_ids,
+                                qformer_mask, n_frms, crop_params=None):
         """uint8 video + waveform → per-frame LLM token embeds.
+
+        ``crop_params`` (B, 5) enables train-time RandomResizedCrop+flip
+        on device (the reference's AlproVideoTrainProcessor transform,
+        ``processors/alpro_processors.py:40-61``); None = eval preprocessing.
 
         Returns dict modality → (B, T, Q, D_llm)."""
         cfg = self.cfg
@@ -350,7 +360,17 @@ class XInstructBLIP:
 
         if "video" in cfg.modalities:
             b, t = video_u8.shape[:2]
-            frames = normalize_frames(video_u8, dtype=jnp.dtype(cfg.vit.dtype))
+            if cfg.video_wire == "yuv420":
+                # wire carries I420 planes; RGB reconstruction fuses into
+                # the normalize that follows
+                video_u8 = yuv420_to_rgb(video_u8)
+            if crop_params is not None:
+                frames = augment_and_normalize(
+                    video_u8, crop_params, cfg.vit.image_size,
+                    dtype=jnp.dtype(cfg.vit.dtype),
+                )
+            else:
+                frames = normalize_frames(video_u8, dtype=jnp.dtype(cfg.vit.dtype))
             gsize = cfg.encode_clips_per_pass
             fpp = cfg.encode_frames_per_pass
             if (fpp and b * t > fpp and (b * t) % fpp == 0
@@ -510,7 +530,8 @@ class XInstructBLIP:
             batch.text_input, np.asarray(batch.timestamps), batch.duration
         )
         return np.asarray(self._saliency_fn(
-            params, jnp.asarray(batch.video), jnp.asarray(batch.audio),
+            params, jnp.asarray(self._wire_video(batch.video)),
+            jnp.asarray(batch.audio),
             jnp.asarray(text.qformer_ids), jnp.asarray(text.qformer_mask),
             n_frms=n_frms,
         ))
@@ -578,12 +599,25 @@ class XInstructBLIP:
             )
         return tokens, saliency
 
+    def _wire_video(self, video: np.ndarray) -> np.ndarray:
+        """Apply the configured host→device wire format.  A 4-D array is
+        already packed I420 (the dataset's ``data.video_wire="yuv420"``
+        fast path — the native decoder emits codec planes directly);
+        5-D RGB is packed here."""
+        video = np.asarray(video)
+        if self.cfg.video_wire == "yuv420" and video.ndim == 5:
+            return rgb_to_yuv420(video)
+        return video
+
     def device_inputs(self, batch) -> tuple:
         """Start async host->device transfer of the heavy batch arrays;
         call one batch ahead to overlap the transfer with compute."""
         import jax
 
-        return (jax.device_put(batch.video), jax.device_put(batch.audio))
+        return (
+            jax.device_put(self._wire_video(batch.video)),
+            jax.device_put(batch.audio),
+        )
 
     def generate(self, params, batch, device_inputs=None,
                  return_saliency: bool = False):
@@ -637,11 +671,12 @@ class XInstructBLIP:
     def _loss_fn(
         self, params, video_u8, audio_wave, qformer_ids, qformer_mask,
         ts_ids, ts_mask, dur_ids, dur_mask, concat_ids, concat_mask, labels,
-        saliency_labels=None,
+        saliency_labels=None, crop_params=None,
         *, n_frms,
     ):
         modal = self._encode_modality_tokens(
-            params, video_u8, audio_wave, qformer_ids, qformer_mask, n_frms
+            params, video_u8, audio_wave, qformer_ids, qformer_mask, n_frms,
+            crop_params=crop_params,
         )
         return self._loss_from_tokens(
             params, modal, ts_ids, ts_mask, dur_ids, dur_mask,
@@ -737,7 +772,7 @@ class XInstructBLIP:
             text_output=batch.text_output,
         )
         arrays = (
-            np.asarray(batch.video), np.asarray(batch.audio),
+            self._wire_video(batch.video), np.asarray(batch.audio),
             text.qformer_ids, text.qformer_mask,
             text.ts_ids, text.ts_mask,
             text.dur_ids, text.dur_mask,
@@ -770,11 +805,14 @@ class XInstructBLIP:
             labels[i] = np.minimum(row, 1.0)
         return labels
 
-    def loss(self, params, batch) -> jax.Array:
+    def loss(self, params, batch, crop_params=None) -> jax.Array:
         """Training forward → scalar CE loss
-        (reference ``models/xinstructblip.py:399-606``)."""
+        (reference ``models/xinstructblip.py:399-606``).  ``crop_params``
+        (B, 5) applies the train-time RandomResizedCrop+flip on device
+        (ops/image.py::sample_crop_params)."""
         arrays = self.loss_arrays(batch)
         return self._loss_fn(
             params, *(jnp.asarray(a) for a in arrays),
+            crop_params=None if crop_params is None else jnp.asarray(crop_params),
             n_frms=batch.timestamps.shape[1],
         )

@@ -26,10 +26,78 @@ CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
 def normalize_frames(frames: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    """uint8 (..., H, W, 3) → normalized model dtype."""
+    """uint8 (or 0..255 float) (..., H, W, 3) → normalized model dtype."""
     x = frames.astype(jnp.float32) / 255.0
     x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
     return x.astype(dtype)
+
+
+# --- YUV420 wire format -----------------------------------------------------
+#
+# Video codecs store 4:2:0 chroma-subsampled YUV; converting to RGB on
+# the host triples chroma bytes before they ever cross the host→device
+# link.  The "yuv420" wire format ships the I420 planes instead — half
+# the bytes of RGB24 — and reconstructs RGB on device, fused into the
+# same jit as CLIP normalization.
+#
+# Wire convention: **limited-range BT.601** (Y 16..235, U/V 16..240) —
+# exactly what the codec emits for (untagged) web video, so the native
+# decoder's I420 path is a pure plane copy with no value conversion at
+# all; swscale cannot range-convert YUV→YUV, and the RGB24 path applies
+# the same limited→full expansion we apply on device.  Host-side packing
+# of RGB sources quantizes into the same range (≤0.6 counts of extra
+# rounding vs full-range).
+
+_YUV_FROM_RGB = np.array(
+    [
+        [0.299, 0.587, 0.114],
+        [-0.168736, -0.331264, 0.5],
+        [0.5, -0.418688, -0.081312],
+    ],
+    np.float32,
+)
+_Y_SCALE = 219.0 / 255.0   # full-range Y -> limited 16..235
+_C_SCALE = 224.0 / 255.0   # full-range chroma offset -> limited 16..240
+
+
+def rgb_to_yuv420(frames: np.ndarray) -> np.ndarray:
+    """Host-side packing: uint8 RGB (..., H, W, 3) → one uint8
+    (..., H*3//2, W) array — the standard I420 memory layout viewed as
+    rows (Y full-res, then U and V each 2×2-box subsampled and reshaped
+    to H/4 rows of width W), limited-range BT.601.  H and W must be
+    multiples of 4."""
+    lead, (h, w, _) = frames.shape[:-3], frames.shape[-3:]
+    x = frames.astype(np.float32)
+    yuv = x @ _YUV_FROM_RGB.T
+    y = yuv[..., 0] * _Y_SCALE + 16.0
+    u = yuv[..., 1] * _C_SCALE + 128.0
+    v = yuv[..., 2] * _C_SCALE + 128.0
+    u = u.reshape(lead + (h // 2, 2, w // 2, 2)).mean(axis=(-3, -1))
+    v = v.reshape(lead + (h // 2, 2, w // 2, 2)).mean(axis=(-3, -1))
+    packed = np.concatenate(
+        [y, u.reshape(lead + (h // 4, w)), v.reshape(lead + (h // 4, w))],
+        axis=-2,
+    )
+    return np.clip(np.rint(packed), 0, 255).astype(np.uint8)
+
+
+@jax.jit
+def yuv420_to_rgb(wire: jax.Array) -> jax.Array:
+    """Device-side unpacking: (..., H*3//2, W) uint8 limited-range I420
+    → float32 RGB (..., H, W, 3) in 0..255 (chroma replicated 2×2, the
+    standard nearest-neighbor upsample)."""
+    lead, (hp, w) = wire.shape[:-2], wire.shape[-2:]
+    h = hp * 2 // 3
+    q = h // 4
+    y = (wire[..., :h, :].astype(jnp.float32) - 16.0) / _Y_SCALE
+    u = wire[..., h:h + q, :].astype(jnp.float32).reshape(lead + (h // 2, w // 2))
+    v = wire[..., h + q:, :].astype(jnp.float32).reshape(lead + (h // 2, w // 2))
+    u = (jnp.repeat(jnp.repeat(u, 2, axis=-2), 2, axis=-1) - 128.0) / _C_SCALE
+    v = (jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1) - 128.0) / _C_SCALE
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
 
 
 def sample_crop_params(

@@ -26,11 +26,16 @@ LLM_RULES: list[tuple[str, P]] = [
     # column-parallel projections: out features on "model"
     (r"llm/.*(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$", P(None, "model")),
     (r"llm/.*(q_proj|k_proj|v_proj|gate_proj|up_proj)/w_int8$", P(None, "model")),
+    # int4 weights are (groups, group, out); their scale (groups, out)
+    (r"llm/.*(q_proj|k_proj|v_proj|gate_proj|up_proj)/w_int4$", P(None, None, "model")),
+    (r"llm/.*(q_proj|k_proj|v_proj|gate_proj|up_proj)/w_int4_scale$", P(None, "model")),
     (r"llm/.*(q_proj|k_proj|v_proj|gate_proj|up_proj)/scale$", P("model")),
     (r"llm/.*(q_proj|k_proj|v_proj|gate_proj|up_proj)/lora_b$", P(None, "model")),
     # row-parallel projections: in features on "model"
     (r"llm/.*(o_proj|down_proj)/kernel$", P("model", None)),
     (r"llm/.*(o_proj|down_proj)/w_int8$", P("model", None)),
+    (r"llm/.*(o_proj|down_proj)/w_int4$", P("model", None, None)),
+    (r"llm/.*(o_proj|down_proj)/w_int4_scale$", P("model", None)),
     (r"llm/.*(o_proj|down_proj)/scale$", P()),
     (r"llm/.*(o_proj|down_proj)/lora_a$", P("model", None)),
     # lm_head: vocab-sharded (argmax over a sharded axis is a cheap

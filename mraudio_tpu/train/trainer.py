@@ -145,6 +145,10 @@ class Trainer:
         self.start_epoch = 0
         self.global_step = 0
         self._step_fns: dict[int, callable] = {}  # keyed on n_frms
+        # Train-time RandomResizedCrop+flip (the reference's
+        # AlproVideoTrainProcessor transform): parameters sampled
+        # host-side, applied on device inside the jitted step.
+        self._aug_rng = np.random.default_rng(tc.seed + 17)
 
         from mraudio_tpu.utils.runlog import RunLogger
 
@@ -186,10 +190,10 @@ class Trainer:
             # backward program.
             @jax.jit
             def encode_fn(enc_params, video_u8, audio_wave, qformer_ids,
-                          qformer_mask):
+                          qformer_mask, crop):
                 return model._encode_modality_tokens(
                     enc_params, video_u8, audio_wave, qformer_ids,
-                    qformer_mask, n_frms,
+                    qformer_mask, n_frms, crop_params=crop,
                 )
 
             # Program B: LLM loss + LoRA/saliency grads + update.
@@ -204,17 +208,19 @@ class Trainer:
 
             step_jit = jax.jit(step_fn, donate_argnums=(0, 2))
 
-            def run(trainable, frozen, opt_state, arrays):
-                modal = encode_fn(enc_params, *arrays[:4])
+            def run(trainable, frozen, opt_state, arrays, crop):
+                modal = encode_fn(enc_params, *arrays[:4], crop)
                 return step_jit(trainable, frozen_rest, opt_state, modal,
                                 arrays[4:])
 
             return run
 
-        def step_fn(trainable, frozen, opt_state, arrays):
+        def step_fn(trainable, frozen, opt_state, arrays, crop):
             def loss_fn(tr):
                 params = merge_params(tr, frozen)
-                return model._loss_fn(params, *arrays, n_frms=n_frms)
+                return model._loss_fn(
+                    params, *arrays, crop_params=crop, n_frms=n_frms
+                )
 
             loss, grads = jax.value_and_grad(loss_fn)(trainable)
             updates, opt_state = tx.update(grads, opt_state, trainable)
@@ -231,6 +237,29 @@ class Trainer:
             bsh = batch_sharding(self.mesh)
             return tuple(jax.device_put(np.asarray(a), bsh) for a in arrays)
         return tuple(jnp.asarray(a) for a in arrays)
+
+    def _sample_crops(self, batch):
+        """Per-clip RandomResizedCrop+flip parameters for this step
+        (None with train.augment=False).  Sampled on the RGB frame dims
+        — before any wire-format packing."""
+        if not self.cfg.train.augment:
+            return None
+        from mraudio_tpu.ops.image import sample_crop_params
+
+        v = np.asarray(batch.video)
+        if v.ndim == 4:  # packed I420 wire: (B, T, H*3/2, W)
+            h, w = v.shape[2] * 2 // 3, v.shape[3]
+        else:
+            h, w = v.shape[2], v.shape[3]
+        crop = sample_crop_params(
+            self._aug_rng, v.shape[0], h, w,
+            self.cfg.data.min_scale, self.cfg.data.max_scale,
+        )
+        if self.mesh is not None:
+            from mraudio_tpu.parallel import batch_sharding
+
+            return jax.device_put(crop, batch_sharding(self.mesh))
+        return jnp.asarray(crop)
 
     @property
     def params(self) -> dict:
@@ -283,7 +312,8 @@ class Trainer:
                 step_fn = self._step_fns[n_frms] = self._build_step(n_frms)
             arrays = self._arrays_for_loss(batch)
             loss, self.trainable, self.opt_state = step_fn(
-                self.trainable, self.frozen, self.opt_state, arrays
+                self.trainable, self.frozen, self.opt_state, arrays,
+                self._sample_crops(batch),
             )
             self.global_step += 1
             lr = float(self.schedule(self.global_step - 1))

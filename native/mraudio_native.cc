@@ -112,11 +112,17 @@ int mr_probe(const char* path, long long* num_frames, double* fps) {
 }
 
 // Decode |n| frames at |indices| (frame numbers relative to the
-// [start,end) sub-clip when start>=0), scaled to (h, w) RGB24, written
-// consecutively into |out| (n*h*w*3 bytes). Returns 0 on success.
-int mr_decode_frames(const char* path, const long long* indices, int n,
-                     int h, int w, double start, double end,
-                     unsigned char* out) {
+// [start,end) sub-clip when start>=0), scaled to (h, w), written
+// consecutively into |out|.  |i420| selects the output pixel format:
+// 0 = RGB24 (h*w*3 bytes/frame); 1 = I420 planes (h*w*3/2 bytes/frame:
+// Y[h][w] then U,V[h/2][w/2] contiguous — the codec's native 4:2:0
+// layout, HALF the bytes of RGB and no chroma upsample on the host;
+// the device reconstructs RGB, ops/image.py::yuv420_to_rgb).
+static int decode_frames_impl(const char* path, const long long* indices,
+                              int n, int h, int w, double start, double end,
+                              unsigned char* out, bool i420) {
+  const size_t frame_bytes = i420 ? static_cast<size_t>(h) * w * 3 / 2
+                                  : static_cast<size_t>(h) * w * 3;
   VideoReader r;
   if (!r.open(path)) return -1;
 
@@ -157,13 +163,26 @@ int mr_decode_frames(const char* path, const long long* indices, int n,
     while (ti < targets.size() &&
            base_frame + targets[ti].first == abs_frame) {
       if (!sws) {
+        // i420: YUV->YUV plane scaling only — the codec's limited-range
+        // values pass through untouched (the wire convention is
+        // limited-range BT.601; the device applies the 16..235/16..240
+        // expansion during RGB reconstruction, ops/image.py).
         sws = sws_getContext(f->width, f->height, (AVPixelFormat)f->format, w,
-                             h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
-                             nullptr, nullptr);
+                             h, i420 ? AV_PIX_FMT_YUV420P : AV_PIX_FMT_RGB24,
+                             SWS_BILINEAR, nullptr, nullptr, nullptr);
       }
-      uint8_t* dst[1] = {out + static_cast<size_t>(targets[ti].second) * h * w * 3};
-      int dst_stride[1] = {w * 3};
-      sws_scale(sws, f->data, f->linesize, 0, f->height, dst, dst_stride);
+      unsigned char* base = out + targets[ti].second * frame_bytes;
+      if (i420) {
+        uint8_t* dst[3] = {base, base + static_cast<size_t>(h) * w,
+                           base + static_cast<size_t>(h) * w +
+                               static_cast<size_t>(h / 2) * (w / 2)};
+        int dst_stride[3] = {w, w / 2, w / 2};
+        sws_scale(sws, f->data, f->linesize, 0, f->height, dst, dst_stride);
+      } else {
+        uint8_t* dst[1] = {base};
+        int dst_stride[1] = {w * 3};
+        sws_scale(sws, f->data, f->linesize, 0, f->height, dst, dst_stride);
+      }
       ++ti;
     }
   };
@@ -204,7 +223,6 @@ int mr_decode_frames(const char* path, const long long* indices, int n,
   // last delivered frame, mirroring repeat-last-frame semantics
   if (ti > 0) {
     while (ti < targets.size()) {
-      size_t frame_bytes = static_cast<size_t>(h) * w * 3;
       std::memcpy(out + targets[ti].second * frame_bytes,
                   out + targets[ti - 1].second * frame_bytes, frame_bytes);
       ++ti;
@@ -218,6 +236,19 @@ int mr_decode_frames(const char* path, const long long* indices, int n,
   av_frame_free(&frame);
   av_packet_free(&pkt);
   return failed ? -1 : 0;
+}
+
+int mr_decode_frames(const char* path, const long long* indices, int n,
+                     int h, int w, double start, double end,
+                     unsigned char* out) {
+  return decode_frames_impl(path, indices, n, h, w, start, end, out, false);
+}
+
+// I420 variant: |out| holds n * (h*3/2) * w bytes; h and w must be even.
+int mr_decode_frames_i420(const char* path, const long long* indices, int n,
+                          int h, int w, double start, double end,
+                          unsigned char* out) {
+  return decode_frames_impl(path, indices, n, h, w, start, end, out, true);
 }
 
 // Decode the audio track to mono float |sample_rate|; writes up to
