@@ -316,6 +316,10 @@ def quantize_llama_int4(params: dict, group_size: int = 128) -> dict:
     """Float param tree → group-wise int4 weights + per-(group, out)
     fp32 scales (``LlamaConfig.quantization="int4"``).  Symmetric absmax
     per group along the input dim (the AWQ/GPTQ grouping convention);
+    values pack two nibbles per uint8 byte pairing group-halves (byte j
+    holds element j in the low nibble and element j+g/2 in the high —
+    ``LlamaLinear`` contracts each nibble plane separately on device so
+    the unpack never materializes).
     LoRA/norm/embedding params pass through and ``lm_head`` stays float
     like the int8 path."""
     import jax
@@ -337,8 +341,11 @@ def quantize_llama_int4(params: dict, group_size: int = 128) -> dict:
             scale = np.abs(grouped).max(axis=1) / 7.0
             scale = np.where(scale == 0, 1.0, scale)
             q = np.clip(np.round(grouped / scale[:, None, :]), -8, 7)
+            qi = q.astype(np.int32) & 0xF
+            half = group_size // 2
+            packed = (qi[:, :half, :] | (qi[:, half:, :] << 4)).astype(np.uint8)
             return {
-                "w_int4": jnp.asarray(q, jnp.int4),
+                "w_int4": jnp.asarray(packed),
                 "w_int4_scale": scale.astype(np.float32),
             }
         return leaf

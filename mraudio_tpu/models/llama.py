@@ -22,6 +22,7 @@ single-token steps extend it).
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -129,13 +130,22 @@ class LlamaLinear(nn.Module):
                 )
                 y = (acc * scale).astype(dtype)
         elif self.cfg.quantization == "int4" and self.quantize_ok:
-            # Group-wise int4 (AWQ/GPTQ-style): weights live as
-            # (groups, group, out) int4 with one fp32 scale per
-            # (group, out).  The dot runs per group (a G-batched matmul
-            # whose int4→bf16 convert XLA fuses into the operand read —
-            # the same pattern as the int8 path), scales apply to the
-            # f32 partial sums, then groups reduce.  Weight HBM traffic
-            # is half of int8's: the decode sweep reads 0.5 byte/param.
+            # Group-wise int4 (AWQ/GPTQ-style): weights live PACKED two
+            # nibbles per uint8 byte — shape (groups, group/2, out), one
+            # fp32 scale per (group, out).  uint8 rather than jnp.int4
+            # storage because S4 arrays cannot cross the host→device
+            # boundary on every backend (the axon plugin's device_put
+            # recurses on tiled S4 layouts).  Packing pairs group-HALVES
+            # (byte j holds elements j and j+g/2 of its group), so each
+            # nibble plane contracts against a CONTIGUOUS half of the
+            # activation group and — crucially — the computation never
+            # concatenates the planes back together: a jnp.stack/reshape
+            # unpack is a materialized full-size int8 copy per call
+            # (concats don't fuse into dot operands; measured 0.33 vs
+            # 0.50 clips/s end-to-end at full size), while per-plane
+            # shift/convert chains are elementwise and fuse into the
+            # matmul's weight read like the int8 path's dequant.  The
+            # projection becomes TWO K=in/2 dots (one per plane) summed.
             g = self.cfg.int4_group_size
             if in_features % g:
                 raise ValueError(
@@ -145,8 +155,8 @@ class LlamaLinear(nn.Module):
             w_q = self.param(
                 "w_int4",
                 nn.initializers.zeros_init(),
-                (ngroups, g, self.features),
-                jnp.int4,
+                (ngroups, g // 2, self.features),
+                jnp.uint8,
             )
             scale = self.param(
                 "w_int4_scale",
@@ -154,15 +164,55 @@ class LlamaLinear(nn.Module):
                 (ngroups, self.features),
                 jnp.float32,
             )
-            # XLA:CPU's DotThunk can't execute *batched* bf16 dots
-            # (fine on the MXU); tests/debug runs take f32 operands.
-            op_dtype = dtype if jax.default_backend() == "tpu" else jnp.float32
-            xg = x.astype(op_dtype).reshape(x.shape[:-1] + (ngroups, g))
-            acc = jnp.einsum(
-                "...gi,gio->...go", xg, w_q.astype(op_dtype),
-                preferred_element_type=jnp.float32,
+            # Per-plane unpack (arithmetic shifts sign-extend): lo plane
+            # = group elements [0, g/2), hi plane = [g/2, g).
+            w8 = jax.lax.bitcast_convert_type(w_q, jnp.int8)
+            lo = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(w8, jnp.int8(4)), jnp.int8(4)
             )
-            y = (acc * scale).sum(axis=-2).astype(dtype)
+            hi = jax.lax.shift_right_arithmetic(w8, jnp.int8(4))
+            # XLA:CPU's DotThunk can't execute some bf16 dot layouts
+            # (fine on the MXU); tests/debug runs take f32 operands.
+            op_dtype = (
+                dtype if jax.default_backend() == "tpu" else jnp.float32
+            )
+            xg = x.astype(op_dtype).reshape(x.shape[:-1] + (ngroups, g))
+            xa, xb = xg[..., : g // 2], xg[..., g // 2:]
+            ntok = math.prod(x.shape[:-1])
+            if ntok > 16:
+                # Prefill/training: group-wise scales do not factor out
+                # of the contraction (they vary along it), so fold them
+                # into each plane's operand — an elementwise
+                # convert×broadcast-mul chain XLA fuses into the dot's
+                # weight read — and contract (groups, g/2) in one
+                # two-dim dot_general per plane (collapses to a single
+                # K=in/2 matmul; the dequant FLOPs are in×out,
+                # negligible against S×in×out).
+                lo_w = (lo * scale[:, None, :]).astype(op_dtype)
+                hi_w = (hi * scale[:, None, :]).astype(op_dtype)
+                nd = xa.ndim
+                dims = (((nd - 2, nd - 1), (0, 1)), ((), ()))
+                acc = jax.lax.dot_general(
+                    xa, lo_w, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    xb, hi_w, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                )
+                y = acc.astype(dtype)
+            else:
+                # Decode GEMV: HBM-bound — the packed bytes stream once
+                # at 0.5 byte/param with the shift/convert fused into
+                # the read; per-group partial sums keep the group axis
+                # so the fp32 scales apply before the group reduce.
+                acc = jnp.einsum(
+                    "...gi,gio->...go", xa, lo.astype(op_dtype),
+                    preferred_element_type=jnp.float32,
+                ) + jnp.einsum(
+                    "...gi,gio->...go", xb, hi.astype(op_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                y = (acc * scale).sum(axis=-2).astype(dtype)
         else:
             kernel = self.param(
                 "kernel",

@@ -55,7 +55,14 @@ def test_quantize_roundtrip_error_bound(float_setup):
         base = name.rsplit("/", 1)[0]
         if f"{base}/w_int4" not in qtree:
             continue
-        wq = np.asarray(qtree[f"{base}/w_int4"], np.float32)
+        packed = np.asarray(qtree[f"{base}/w_int4"]).astype(np.int32)
+        lo = packed & 0xF
+        hi = (packed >> 4) & 0xF
+        # byte j holds group elements j (lo) and j+g/2 (hi)
+        wq = np.concatenate(
+            [np.where(lo > 7, lo - 16, lo), np.where(hi > 7, hi - 16, hi)],
+            axis=1,
+        ).astype(np.float32)
         sc = np.asarray(qtree[f"{base}/w_int4_scale"])
         deq = (wq * sc[:, None, :]).reshape(w.shape)
         err = np.abs(deq - np.asarray(w))
