@@ -87,10 +87,13 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int):
         })
 
     while pending or engine.active.any():
-        while pending and engine.free_slots():
-            req, _ = pending.pop(0)
-            submit_time[req.request_id] = time.time()
-            engine.submit(req)
+        if pending and engine.free_slots():
+            # simultaneous arrivals share one batched prefill dispatch
+            now = time.time()
+            admitted = engine.submit_many([req for req, _ in pending])
+            for req, _ in pending[:admitted]:
+                submit_time[req.request_id] = now
+            del pending[:admitted]
         for completion in engine.step():
             handle(completion)
     elapsed = time.time() - t_start

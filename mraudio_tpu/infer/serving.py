@@ -4,8 +4,10 @@ The batched eval driver (``infer/evaluate.py``) processes uniform
 batches; a *serving* deployment receives requests at arbitrary times.
 This engine keeps ``max_slots`` decode lanes live on the chip:
 
-* a new request prefills (batch-of-1 jit) and its KV slice is copied
-  into a free slot of the shared cache while other slots keep decoding;
+* new requests prefill in one jitted batched call (``submit_many`` —
+  simultaneous arrivals share the prefill matmuls instead of running
+  batch-of-1 each) and their KV slices are scattered into free slots of
+  the shared cache while other slots keep decoding;
 * every engine step advances ALL active slots by one token in a single
   jitted call — slots may sit at different sequence lengths, handled by
   per-slot cache write columns (one-hot scatter inside the attention);
@@ -92,20 +94,24 @@ class ContinuousBatcher:
 
         self._prefill = jax.jit(self._prefill_fn)
         self._decode = jax.jit(self._decode_fn, donate_argnums=(1,))
-        self._write_slot = jax.jit(self._write_slot_fn, donate_argnums=(0,))
+        self._write_slots = jax.jit(self._write_slots_fn, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
 
     def _prefill_fn(self, params, embeds, prefix_mask):
-        """Batch-of-1 prefill over a cache sized to this slot's region."""
+        """Batched prefill of N requests over caches sized to one slot's
+        region.  N is a compile-time shape — ``submit_many`` buckets the
+        arrival count to powers of two so the jit compiles O(log slots)
+        variants, not one per count."""
+        b = embeds.shape[0]
         s = self.prefix_len
         alloc = s if self.kv_keep else self.max_len
         positions = jnp.maximum(jnp.cumsum(prefix_mask, axis=-1) - 1, 0)
         q_idx = jnp.arange(s)[:, None]
         k_idx = jnp.arange(alloc)[None, :]
-        pmask_full = jnp.zeros((1, alloc), jnp.int32).at[:, :s].set(prefix_mask)
+        pmask_full = jnp.zeros((b, alloc), jnp.int32).at[:, :s].set(prefix_mask)
         attend = ((k_idx <= q_idx)[None, None]) & pmask_full[:, None, None, :].astype(bool)
-        cache = init_cache(self.model.cfg, 1, alloc)
+        cache = init_cache(self.model.cfg, b, alloc)
         # return_hidden + last-position lm_head: the full-sequence vocab
         # logits are never read past [:, -1] (see infer/generate.py).
         hidden, cache = self.model.apply(
@@ -115,23 +121,24 @@ class ContinuousBatcher:
         last_logits = self.model.apply(
             params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]
         ).astype(jnp.float32)
-        next_id = jnp.argmax(last_logits[:, -1], axis=-1).astype(jnp.int32)
+        next_ids = jnp.argmax(last_logits[:, -1], axis=-1).astype(jnp.int32)
         if self.kv_keep:
             cache = compact_cache(
                 self.model.cfg, cache, pmask_full, s, self.max_new_tokens
             )
-        return cache, next_id[0], positions[0, -1]
+        return cache, next_ids, positions[:, -1]
 
-    def _write_slot_fn(self, cache, one_cache, slot):
-        # copies every cache leaf (k/v, plus scales under kv_quant);
-        # the slot axis is 0 in the per-layer-list layout and 1 under
-        # cfg.scan_layers (leaves carry a leading num_layers axis)
-        axis = 1 if self.model.cfg.scan_layers else 0
-        def upd(dst, src):
-            idx = [0] * dst.ndim
-            idx[axis] = slot
-            return jax.lax.dynamic_update_slice(dst, src, tuple(idx))
-        return jax.tree_util.tree_map(upd, cache, one_cache)
+    def _write_slots_fn(self, cache, batch_cache, slots):
+        # scatters every cache leaf (k/v, plus scales under kv_quant, plus
+        # per-layer `valid` under kv_keep) for N prefilled rows into their
+        # slots in one call; the slot axis is 0 in the per-layer-list
+        # layout and 1 under cfg.scan_layers (leaves carry a leading
+        # num_layers axis)
+        if self.model.cfg.scan_layers:
+            upd = lambda dst, src: dst.at[:, slots].set(src.astype(dst.dtype))
+        else:
+            upd = lambda dst, src: dst.at[slots].set(src.astype(dst.dtype))
+        return jax.tree_util.tree_map(upd, cache, batch_cache)
 
     def _decode_fn(self, params, cache, cur_ids, positions, valid, write_cols):
         embeds = self.model.apply(
@@ -151,31 +158,64 @@ class ContinuousBatcher:
 
     def submit(self, request: Request) -> bool:
         """Prefill a request into a free slot.  False if no slot free."""
-        free = np.where(~self.active)[0]
-        if len(free) == 0:
-            return False
-        slot = int(free[0])
+        return self.submit_many([request]) == 1
 
-        one_cache, first_id, last_pos = self._prefill(
-            self.params,
-            jnp.asarray(request.prefix_embeds[None]),
-            jnp.asarray(request.prefix_mask[None]),
+    def submit_many(self, requests: list) -> int:
+        """Prefill up to ``free_slots()`` of ``requests`` in ONE batched
+        jitted call and scatter their KV into free slots.  Returns how
+        many were admitted (a prefix of the list); the rest stay the
+        caller's to resubmit.
+
+        The batch is padded up to the next power of two (by repeating the
+        last row — an all-zero mask row would NaN the softmax) so the
+        prefill jit compiles at most log2(max_slots)+1 shapes; padded
+        rows' outputs are discarded and never touch the slot cache."""
+        free = np.where(~self.active)[0]
+        n = min(len(requests), len(free))
+        if n == 0:
+            return 0
+        take, slots = requests[:n], free[:n]
+
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        embeds = np.stack(
+            [r.prefix_embeds for r in take]
+            + [take[-1].prefix_embeds] * (bucket - n)
         )
-        self.cache = self._write_slot(self.cache, one_cache, slot)
-        self.valid[slot] = 0
-        if self.kv_keep:
-            # kept columns: the shared mask covers the region; each
-            # layer's own `valid` leaf (in the cache) refines it
-            self.valid[slot, : self.slot_prefix] = 1
-        else:
-            self.valid[slot, : self.prefix_len] = np.asarray(request.prefix_mask)
-        self.positions[slot] = int(last_pos)
-        self.lengths[slot] = self.slot_prefix
-        self.cur_ids[slot] = int(first_id)
-        self.emitted[slot] = []
-        self.slot_request[slot] = request.request_id
-        self.active[slot] = True
-        return True
+        masks = np.stack(
+            [r.prefix_mask for r in take] + [take[-1].prefix_mask] * (bucket - n)
+        )
+        batch_cache, first_ids, last_pos = self._prefill(
+            self.params, jnp.asarray(embeds), jnp.asarray(masks)
+        )
+        if bucket > n:
+            slot_axis = 1 if self.model.cfg.scan_layers else 0
+            batch_cache = jax.tree_util.tree_map(
+                lambda x: jax.lax.slice_in_dim(x, 0, n, axis=slot_axis),
+                batch_cache,
+            )
+        self.cache = self._write_slots(
+            self.cache, batch_cache, jnp.asarray(slots)
+        )
+        first_ids = np.asarray(first_ids)
+        last_pos = np.asarray(last_pos)
+        for i, (request, slot) in enumerate(zip(take, slots)):
+            slot = int(slot)
+            self.valid[slot] = 0
+            if self.kv_keep:
+                # kept columns: the shared mask covers the region; each
+                # layer's own `valid` leaf (in the cache) refines it
+                self.valid[slot, : self.slot_prefix] = 1
+            else:
+                self.valid[slot, : self.prefix_len] = np.asarray(request.prefix_mask)
+            self.positions[slot] = int(last_pos[i])
+            self.lengths[slot] = self.slot_prefix
+            self.cur_ids[slot] = int(first_ids[i])
+            self.emitted[slot] = []
+            self.slot_request[slot] = request.request_id
+            self.active[slot] = True
+        return n
 
     def step(self) -> list[Completion]:
         """Advance every active slot by one token."""

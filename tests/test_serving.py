@@ -80,6 +80,60 @@ def test_serving_matches_batched_greedy(setup):
             assert tokens[-1] == 2  # ended because of eos
 
 
+def test_submit_many_matches_sequential(setup):
+    """Batched admission (one prefill dispatch, padded bucket, slot
+    scatter) must be token-identical to one-at-a-time submits."""
+    model, params, s, d = setup
+    max_new = 5
+    prefixes = _make_prefixes(3, s, d, seed=3)
+    reqs = [Request(i, e, m) for i, (e, m) in enumerate(prefixes)]
+
+    def run(engine, batched):
+        pending = list(reqs)
+        results = {}
+        while engine.active.any() or pending:
+            if pending and engine.free_slots():
+                if batched:
+                    admitted = engine.submit_many(pending)
+                    del pending[:admitted]
+                elif engine.submit(pending[0]):
+                    pending.pop(0)
+            for comp in engine.step():
+                results[comp.request_id] = comp.token_ids
+        return results
+
+    kw = dict(prefix_len=s, max_new_tokens=max_new, eos_id=2)
+    seq = run(ContinuousBatcher(model, params, max_slots=4, **kw), False)
+    # max_slots=4 with 3 requests exercises the padded power-of-two
+    # bucket (n=3 -> bucket=4) and the partial scatter
+    bat = run(ContinuousBatcher(model, params, max_slots=4, **kw), True)
+    assert seq == bat and set(bat) == {0, 1, 2}
+
+
+def test_submit_many_with_kv_keep(setup):
+    """Batched admission through the compacted-cache path (per-layer
+    `valid` leaves ride the scatter)."""
+    model, params, s, d = setup
+    cfg = model.cfg.replace(kv_keep=8, kv_keep_obs=4, kv_keep_sink=2)
+    cmodel = LlamaModel(cfg, None)
+    prefixes = _make_prefixes(2, s, d, seed=11)
+    reqs = [Request(i, e, m) for i, (e, m) in enumerate(prefixes)]
+
+    def run(batched):
+        engine = ContinuousBatcher(
+            cmodel, params, prefix_len=s, max_new_tokens=4, eos_id=2,
+            max_slots=2,
+        )
+        if batched:
+            assert engine.submit_many(list(reqs)) == 2
+        else:
+            for r in reqs:
+                assert engine.submit(r)
+        return {c.request_id: c.token_ids for c in engine.run_to_completion()}
+
+    assert run(False) == run(True)
+
+
 def test_slot_reuse_after_completion(setup):
     model, params, s, d = setup
     engine = ContinuousBatcher(
