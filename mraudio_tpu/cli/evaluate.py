@@ -65,6 +65,8 @@ def main(argv=None):
     parser.add_argument("--video-source", default="", choices=["", "native", "synthetic", "npy"])
     parser.add_argument("--model-size", default="full", choices=["full", "tiny"])
     parser.add_argument("--n-frms", type=int, default=0)
+    parser.add_argument("--profile-dir", default="",
+                        help="capture an xprof/TensorBoard device trace here")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -80,7 +82,7 @@ def main(argv=None):
     result = run_inference(
         cfg, model=model, params=params,
         output_file=args.output_file, batch_size=args.batch_size,
-        num_workers=args.num_workers,
+        num_workers=args.num_workers, profile_dir=args.profile_dir or None,
     )
     print(f"wrote {len(result['records'])} predictions to {args.output_file} "
           f"({result['clips_per_sec']:.3f} clips/sec)")

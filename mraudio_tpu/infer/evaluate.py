@@ -48,6 +48,7 @@ def run_inference(
     output_file: str | None = None,
     batch_size: int = 2,
     num_workers: int = 2,
+    profile_dir: str | None = None,
 ) -> dict:
     """Returns {'records': [...], 'clips_per_sec': float}."""
     if model is None:
@@ -93,12 +94,18 @@ def run_inference(
         dataset, batch_size, shuffle=False, num_threads=max(num_workers, 1)
     )
 
-    from mraudio_tpu.utils.profiling import StageTimes
+    import contextlib
 
+    from mraudio_tpu.utils.profiling import StageTimes, profile_to
+
+    # --profile-dir: capture an xprof/TensorBoard device trace of the
+    # whole inference loop (stage names from StageTimes annotate it).
+    trace_ctx = profile_to(profile_dir) if profile_dir else contextlib.nullcontext()
     times = StageTimes()
     records = []
     n_clips = 0
     start = time.time()
+    trace_ctx.__enter__()
     # Double-buffer: kick off the next batch's host->device transfer while
     # the current batch computes.
     it = iter(loader)
@@ -153,6 +160,7 @@ def run_inference(
                     )
                 records.append(record)
                 n_clips += 1
+    trace_ctx.__exit__(None, None, None)
     elapsed = time.time() - start
     clips_per_sec = n_clips / elapsed if elapsed > 0 else 0.0
     logger.info(

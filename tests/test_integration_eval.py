@@ -59,6 +59,23 @@ def test_driver_to_scorer_roundtrip(tmp_path):
     assert brief["MR-full-mAP"] == 0.0
 
 
+def test_profile_dir_captures_trace(tmp_path):
+    """--profile-dir wraps the loop in jax.profiler trace capture."""
+    cfg = RunConfig(model=tiny_model_config(), data=tiny_data_config(n_frms=4))
+    model = XInstructBLIP(cfg.model, audio_cfg=cfg.data.audio)
+    params = model.init_params(jax.random.PRNGKey(0))
+    trace_dir = tmp_path / "trace"
+    result = run_inference(
+        cfg, model=model, params=params, annotations=_annotations(2),
+        batch_size=2, profile_dir=str(trace_dir),
+    )
+    assert len(result["records"]) == 2
+    captured = list(trace_dir.rglob("*.xplane.pb")) + list(
+        trace_dir.rglob("*.trace.json.gz")
+    )
+    assert captured, f"no trace artifacts under {trace_dir}"
+
+
 def test_driver_chunked_union_equals_full(tmp_path):
     cfg = RunConfig(model=tiny_model_config(), data=tiny_data_config(n_frms=4))
     model = XInstructBLIP(cfg.model, audio_cfg=cfg.data.audio)
