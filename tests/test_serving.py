@@ -134,6 +134,38 @@ def test_submit_many_with_kv_keep(setup):
     assert run(False) == run(True)
 
 
+def test_serving_on_tp_mesh(setup):
+    """The continuous batcher runs with Megatron-sharded LLM params on
+    the virtual (data=2, model=4) mesh and matches single-device tokens
+    — multi-chip coverage for the serving path."""
+    from mraudio_tpu.config import MeshConfig
+    from mraudio_tpu.parallel import make_mesh, shard_params
+
+    model, params, s, d = setup
+    prefixes = _make_prefixes(2, s, d, seed=5)
+    reqs = [Request(i, e, m) for i, (e, m) in enumerate(prefixes)]
+
+    def run():
+        engine = ContinuousBatcher(
+            model, params_run, prefix_len=s, max_new_tokens=4, eos_id=2,
+            max_slots=2,
+        )
+        assert engine.submit_many(list(reqs)) == 2
+        return {c.request_id: c.token_ids for c in engine.run_to_completion()}
+
+    params_run = params
+    single = run()
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    with jax.set_mesh(mesh):
+        # partition rules match paths rooted at the assembly key ("llm/...")
+        params_run = {
+            "params": shard_params({"llm": params["params"]}, mesh)["llm"]
+        }
+        sharded = run()
+    assert single == sharded
+
+
 def test_slot_reuse_after_completion(setup):
     model, params, s, d = setup
     engine = ContinuousBatcher(
