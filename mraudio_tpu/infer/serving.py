@@ -130,14 +130,18 @@ class ContinuousBatcher:
 
     def _write_slots_fn(self, cache, batch_cache, slots):
         # scatters every cache leaf (k/v, plus scales under kv_quant, plus
-        # per-layer `valid` under kv_keep) for N prefilled rows into their
-        # slots in one call; the slot axis is 0 in the per-layer-list
-        # layout and 1 under cfg.scan_layers (leaves carry a leading
-        # num_layers axis)
+        # per-layer `valid` under kv_keep) for the first len(slots)
+        # prefilled rows into their slots in one call — padded bucket rows
+        # are trimmed here, inside the jit, so the trim+scatter is one
+        # dispatch; the slot axis is 0 in the per-layer-list layout and 1
+        # under cfg.scan_layers (leaves carry a leading num_layers axis)
+        n = slots.shape[0]
         if self.model.cfg.scan_layers:
-            upd = lambda dst, src: dst.at[:, slots].set(src.astype(dst.dtype))
+            upd = lambda dst, src: dst.at[:, slots].set(
+                src[:, :n].astype(dst.dtype)
+            )
         else:
-            upd = lambda dst, src: dst.at[slots].set(src.astype(dst.dtype))
+            upd = lambda dst, src: dst.at[slots].set(src[:n].astype(dst.dtype))
         return jax.tree_util.tree_map(upd, cache, batch_cache)
 
     def _decode_fn(self, params, cache, cur_ids, positions, valid, write_cols):
@@ -189,12 +193,6 @@ class ContinuousBatcher:
         batch_cache, first_ids, last_pos = self._prefill(
             self.params, jnp.asarray(embeds), jnp.asarray(masks)
         )
-        if bucket > n:
-            slot_axis = 1 if self.model.cfg.scan_layers else 0
-            batch_cache = jax.tree_util.tree_map(
-                lambda x: jax.lax.slice_in_dim(x, 0, n, axis=slot_axis),
-                batch_cache,
-            )
         self.cache = self._write_slots(
             self.cache, batch_cache, jnp.asarray(slots)
         )
