@@ -91,10 +91,20 @@ def make_profile(name: str):
         # MRAUDIO_BENCH_QUANT overrides the weight format (int8 default;
         # int4 halves weight bytes again — also an accuracy trade).
         quant = os.environ.get("MRAUDIO_BENCH_QUANT", "int8")
+        # MRAUDIO_BENCH_MLP_CHUNK=N tiles the prefill MLP over N-token
+        # chunks (caps the (B, S, 11008) f32 gate/up temps — the largest
+        # prefill allocations at B>=3).
+        mlp_chunk = int(os.environ.get("MRAUDIO_BENCH_MLP_CHUNK", "0"))
+        # MRAUDIO_BENCH_PREFILL_CHUNK=N runs prefill in N-token segments
+        # (bit-identical tokens; caps the O(B*S) prefill temps — the
+        # lever for B>=3 on one chip).
+        pf_chunk = int(os.environ.get("MRAUDIO_BENCH_PREFILL_CHUNK", "0"))
         model = XInstructBLIPConfig(
             vit=ViTConfig(keyframe_interval=kf),
             llm=LlamaConfig(quantization=quant, kv_quant=kv_quant,
-                            scan_layers=scan, kv_keep=keep),
+                            scan_layers=scan, kv_keep=keep,
+                            mlp_seq_chunk=mlp_chunk,
+                            prefill_chunk=pf_chunk),
             constrained_decoding=constrained,
             spec_width=spec,
             video_wire=wire,

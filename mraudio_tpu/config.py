@@ -214,6 +214,16 @@ class LlamaConfig(_ConfigBase):
     # training backward keeps dozens live; tiling caps them at
     # (chunk, intermediate).  Forward-only inference doesn't need it.
     mlp_seq_chunk: int = 0
+    # Chunked prefill (0 = one-shot): run generate's prefix pass in
+    # N-token segments against the cache (later segments attend earlier
+    # ones through it, with a static q_offset keeping the attention
+    # kernel's causal skipping intact).  Bit-identical tokens to one-shot
+    # prefill; caps the per-layer (B, chunk, ...) qkv/norm/quantize temps
+    # that are the largest prefill allocations at B>=3 — the lever that
+    # lets batch grow past the one-shot prefill's memory peak on a
+    # 16 GB chip.  Costs one extra dispatch per segment; keep segments
+    # >= 1-2k tokens so prefill matmuls stay MXU-shaped.
+    prefill_chunk: int = 0
     # Scan over the layer stack (one nn.scan body instead of 32 traced
     # block copies).  Params/cache carry a leading (num_layers,) axis —
     # weight loads stack the per-layer trees (models/convert_weights

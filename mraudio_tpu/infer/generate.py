@@ -23,6 +23,45 @@ from mraudio_tpu.models.layers import NEG_INF
 from mraudio_tpu.models.llama import LlamaModel, compact_cache, init_cache
 
 
+def prefill_cache(model, params, prefix_embeds, positions, full_mask,
+                  alloc_len: int):
+    """Run the prefix through the decoder, writing the KV cache; returns
+    ``(hidden_tail, cache)`` where ``hidden_tail`` covers at least the
+    last prefix position (all the decode seed needs).
+
+    With ``cfg.prefill_chunk`` the pass runs in static segments: segment
+    ``i`` writes cache columns ``[o, o+c)`` and attends everything
+    written so far via a static ``q_offset`` — bit-identical to the
+    one-shot pass (same cache values, same attention tile sequence) while
+    the per-layer (B, S, ...) prefill temps shrink to (B, chunk, ...).
+    ``return_hidden`` + last-position lm_head stays the caller's job (a
+    full-sequence vocab projection is never materialized)."""
+    b, s, _ = prefix_embeds.shape
+    chunk = model.cfg.prefill_chunk
+    cache = init_cache(model.cfg, b, alloc_len)
+    k_idx = jnp.arange(alloc_len)[None, :]
+    pad = full_mask[:, None, None, :].astype(bool)
+    if not chunk or s <= chunk:
+        starts = [0]
+    else:
+        starts = list(range(0, s, chunk))
+    hidden = None
+    for o in starts:
+        c = min(chunk, s - o) if chunk else s
+        emb_c = jax.lax.slice_in_dim(prefix_embeds, o, o + c, axis=1)
+        pos_c = jax.lax.slice_in_dim(positions, o, o + c, axis=1)
+        q_idx = (o + jnp.arange(c))[:, None]
+        # absolute causal + padding; columns past this segment are
+        # unwritten and masked out of kv_valid too
+        attend = ((k_idx <= q_idx)[None, None]) & pad
+        written = full_mask * (k_idx < o + c).astype(full_mask.dtype)
+        hidden, cache = model.apply(
+            params, emb_c, attend, pos_c, cache=cache, cache_index=o,
+            kv_valid=written, causal=True, return_hidden=True,
+        )
+    return hidden, cache
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "max_new_tokens", "eos_id"),
@@ -51,19 +90,12 @@ def greedy_generate(
     # Validity over cache slots: prefix mask then ones as steps land.
     full_mask = jnp.zeros((b, alloc_len), jnp.int32).at[:, :s].set(prefix_mask)
 
-    cache = init_cache(cfg, b, alloc_len)
-
-    # Prefill: causal within the prefix, restricted to valid slots.
-    q_idx = jnp.arange(s)[:, None]
-    k_idx = jnp.arange(alloc_len)[None, :]
-    causal = (k_idx <= q_idx)[None, None]                      # (1,1,S,max)
-    pad = full_mask[:, None, None, :].astype(bool)             # (B,1,1,max)
-    # return_hidden: the full-sequence lm_head would materialize a
-    # (B, S, 32001) logits buffer (657 MB at QVH shape) and burn ~2.8
-    # TFLOP — only the last position seeds the decode.
-    hidden, cache = model.apply(
-        params, prefix_embeds, causal & pad, positions, cache=cache, cache_index=0,
-        kv_valid=full_mask, causal=True, return_hidden=True,
+    # Prefill (segmented when cfg.prefill_chunk).  return_hidden: the
+    # full-sequence lm_head would materialize a (B, S, 32001) logits
+    # buffer (657 MB at QVH shape) and burn ~2.8 TFLOP — only the last
+    # position seeds the decode.
+    hidden, cache = prefill_cache(
+        model, params, prefix_embeds, positions, full_mask, alloc_len
     )
     last_logits = model.apply(
         params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]
@@ -176,15 +208,8 @@ def grammar_generate(
     last_pos = positions[:, -1]
 
     full_mask = jnp.zeros((b, alloc_len), jnp.int32).at[:, :s].set(prefix_mask)
-    cache = init_cache(cfg, b, alloc_len)
-
-    q_idx = jnp.arange(s)[:, None]
-    k_idx = jnp.arange(alloc_len)[None, :]
-    causal = (k_idx <= q_idx)[None, None]
-    pad = full_mask[:, None, None, :].astype(bool)
-    hidden, cache = model.apply(
-        params, prefix_embeds, causal & pad, positions, cache=cache,
-        cache_index=0, kv_valid=full_mask, causal=True, return_hidden=True,
+    hidden, cache = prefill_cache(
+        model, params, prefix_embeds, positions, full_mask, alloc_len
     )
     last_logits = model.apply(
         params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]

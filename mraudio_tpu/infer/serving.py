@@ -29,6 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from mraudio_tpu.infer.generate import prefill_cache
 from mraudio_tpu.models.llama import LlamaModel, compact_cache, init_cache
 
 
@@ -107,16 +108,12 @@ class ContinuousBatcher:
         s = self.prefix_len
         alloc = s if self.kv_keep else self.max_len
         positions = jnp.maximum(jnp.cumsum(prefix_mask, axis=-1) - 1, 0)
-        q_idx = jnp.arange(s)[:, None]
-        k_idx = jnp.arange(alloc)[None, :]
         pmask_full = jnp.zeros((b, alloc), jnp.int32).at[:, :s].set(prefix_mask)
-        attend = ((k_idx <= q_idx)[None, None]) & pmask_full[:, None, None, :].astype(bool)
-        cache = init_cache(self.model.cfg, b, alloc)
-        # return_hidden + last-position lm_head: the full-sequence vocab
-        # logits are never read past [:, -1] (see infer/generate.py).
-        hidden, cache = self.model.apply(
-            params, embeds, attend, positions, cache=cache, cache_index=0,
-            kv_valid=pmask_full, causal=True, return_hidden=True,
+        # segmented when cfg.prefill_chunk; return_hidden + last-position
+        # lm_head: the full-sequence vocab logits are never read past
+        # [:, -1] (see infer/generate.py).
+        hidden, cache = prefill_cache(
+            self.model, params, embeds, positions, pmask_full, alloc
         )
         last_logits = self.model.apply(
             params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]

@@ -271,6 +271,10 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, positions, cfg.rope_theta)
 
         per_row_index = cache is not None and getattr(cache_index, "ndim", 0) == 1
+        # Chunked prefill passes cache_index as a static Python int (the
+        # chunk's first cache column); absolute causal positions shift by
+        # it but all tile bounds stay compile-time static.
+        q_offset = cache_index if isinstance(cache_index, int) else 0
         if per_row_index:
             # Row b's tokens land at its own columns — continuous-batching
             # decode (s == 1) and the speculative multi-position step
@@ -354,30 +358,51 @@ class LlamaAttention(nn.Module):
             # Prefill under KV compaction: score every cache column by
             # the softmax mass the last `kv_keep_obs` prefix queries (the
             # text prompt) put on it — the SnapKV observation-window
-            # statistic compact_cache consumes.  One extra (B, H, W, KV)
-            # logits tile per layer (~40 MB at QVH full size), summed
-            # over heads+window immediately.
+            # statistic compact_cache consumes.  Scored in head-group
+            # chunks (fori_loop): softmax is per-head independent, so the
+            # (B, hc, W, KV) tile per step replaces a full (B, H, W, KV)
+            # f32 tile per layer (≥ 130 MB at B=3 QVH full size — the
+            # allocation that kept int4 + kv_keep from fitting B=3).
             w_obs = min(cfg.kv_keep_obs, s)
             obs_q = q[:, s - w_obs:]
-            obs = jnp.einsum(
-                "bwhd,bkhd->bhwk", obs_q, k_full.astype(obs_q.dtype),
-                preferred_element_type=jnp.float32,
-            ) * (d ** -0.5)
-            if quantized:
-                obs = obs * k_scale.transpose(0, 2, 1)[:, :, None, :]
-            kv_cols = jnp.arange(k_full.shape[1])[None, None, None, :]
-            q_cols_obs = (s - w_obs) + jnp.arange(w_obs)[None, None, :, None]
+            kv_len = k_full.shape[1]
+            kv_cols = jnp.arange(kv_len)[None, None, None, :]
+            # q_offset: under chunked prefill every chunk writes a score
+            # (cheap — w_obs queries) and the FINAL chunk's overwrites it,
+            # which is exactly the SnapKV statistic: the last w_obs prefix
+            # queries scoring every cache column.
+            q_cols_obs = (
+                q_offset + s - w_obs
+            ) + jnp.arange(w_obs)[None, None, :, None]
             ok = (kv_cols <= q_cols_obs)
             if kv_valid is not None:
                 ok = ok & (kv_valid[:, None, None, :] > 0)
-            obs = jnp.where(ok, obs, NEG_INF)
-            probs = jax.nn.softmax(obs, axis=-1)
-            if kv_valid is not None:
                 # padding queries (interior timestamp slots / short rows)
                 # contribute nothing
                 qv = jax.lax.dynamic_slice_in_dim(kv_valid, s - w_obs, w_obs, 1)
-                probs = probs * qv[:, None, :, None].astype(probs.dtype)
-            new_cache["obs_score"] = probs.sum(axis=(1, 2))     # (B, KV)
+            hc = 4 if h % 4 == 0 else 1
+
+            def _obs_chunk(i, acc):
+                q_c = jax.lax.dynamic_slice_in_dim(obs_q, i * hc, hc, axis=2)
+                k_c = jax.lax.dynamic_slice_in_dim(k_full, i * hc, hc, axis=2)
+                logits = jnp.einsum(
+                    "bwhd,bkhd->bhwk", q_c, k_c.astype(q_c.dtype),
+                    preferred_element_type=jnp.float32,
+                ) * (d ** -0.5)
+                if quantized:
+                    ks_c = jax.lax.dynamic_slice_in_dim(
+                        k_scale, i * hc, hc, axis=2
+                    )
+                    logits = logits * ks_c.transpose(0, 2, 1)[:, :, None, :]
+                logits = jnp.where(ok, logits, NEG_INF)
+                probs = jax.nn.softmax(logits, axis=-1)
+                if kv_valid is not None:
+                    probs = probs * qv[:, None, :, None].astype(probs.dtype)
+                return acc + probs.sum(axis=(1, 2))
+
+            new_cache["obs_score"] = jax.lax.fori_loop(
+                0, h // hc, _obs_chunk, jnp.zeros((b, kv_len), jnp.float32)
+            )
 
         # Memory-efficient attention for multi-token calls
         # (prefill/training).  Decode steps (s == 1) use the dense path
@@ -394,6 +419,7 @@ class LlamaAttention(nn.Module):
         )
         if use_streaming and impl == "pallas" and (
             jax.default_backend() != "tpu" or s == 1 or per_row_index
+            or q_offset > 0
         ):
             # Mosaic kernels: real TPUs, multi-token, column-0-aligned
             # queries only (the per-row speculative step needs q_abs).
@@ -432,6 +458,9 @@ class LlamaAttention(nn.Module):
                 if causal and per_row_index:
                     # per-row absolute causal columns (speculative step)
                     extra["q_abs"] = q_cols
+                elif causal and q_offset:
+                    # static shared offset (chunked prefill)
+                    extra["q_offset"] = q_offset
                 if quantized:
                     # Feed the int8 cache directly; the kernel dequants
                     # 2 MB tiles (a full-cache bf16 dequant here costs

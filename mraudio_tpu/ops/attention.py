@@ -32,7 +32,7 @@ NEG_INF = -1e30
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "block_k", "block_q", "causal_skip", "unroll_q",
-                     "kv_bshd", "q_bshd"),
+                     "kv_bshd", "q_bshd", "q_offset"),
 )
 def chunked_attention(
     q: jax.Array,          # (B, H, S, D); (B, S, H, D) with q_bshd=True
@@ -50,6 +50,7 @@ def chunked_attention(
     kv_bshd: bool = False,
     q_bshd: bool = False,
     q_abs: jax.Array | None = None,     # (B, S) absolute kv columns of q
+    q_offset: int = 0,                  # static column of query 0 (chunked prefill)
 ) -> jax.Array:
     """Online-softmax attention in pure XLA: an outer ``lax.map`` over
     query tiles and an inner ``lax.scan`` over kv chunks with running
@@ -89,7 +90,14 @@ def chunked_attention(
     draft tokens at columns ``[len_b, len_b + S)`` of the cache and must
     be causal against those columns, which differ per row.  Tile-static
     causal skipping is disabled (the positions are traced); decode-time
-    calls scan the whole cache anyway."""
+    calls scan the whole cache anyway.
+
+    ``q_offset`` is the *static* variant for chunked prefill: every row's
+    queries start at the same known column, so causal positions shift by
+    a compile-time constant and the static skip/tail logic stays intact —
+    a prefill processed in chunks is bit-identical to the one-shot call
+    (same kv tiles, same online-softmax order, masked blocks are exact
+    no-ops)."""
     if q_bshd:
         b, s, h, d = q.shape
     else:
@@ -194,8 +202,8 @@ def chunked_attention(
                 nf = num_full
                 need_tail = tail_len > 0
             else:
-                q_pos = qs + jnp.arange(bq)[None, None, :, None]
-                q_end = qs + bq - 1
+                q_pos = q_offset + qs + jnp.arange(bq)[None, None, :, None]
+                q_end = q_offset + qs + bq - 1
                 if causal:
                     nf = min((q_end + block_k) // block_k, num_full)
                     need_tail = tail_len > 0 and q_end >= num_full * block_k
@@ -266,9 +274,9 @@ def chunked_attention(
             )[:, None, :, None]                               # (B,1,bq,1)
             q_end = jnp.max(q_pos)                            # traced bound
         else:
-            q_pos = (qb_idx * block_q
+            q_pos = (q_offset + qb_idx * block_q
                      + jnp.arange(block_q)[None, None, :, None])  # (1,1,bq,1)
-            q_end = qb_idx * block_q + block_q - 1  # last query position
+            q_end = q_offset + qb_idx * block_q + block_q - 1  # last query position
 
         def step(carry, c_idx):
             if causal and causal_skip:
