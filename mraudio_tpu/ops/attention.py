@@ -235,22 +235,17 @@ def chunked_attention(
             tiles.append(finish(carry, q_blk))
         return jnp.concatenate(tiles, axis=1 if q_bshd else 2)
 
-    # Scanned path (training): pad kv to whole chunks and q to whole
-    # tiles, scan over both.
-    pad_k = (-kv_len) % block_k
-    if pad_k:
-        kv_pads = [(0, 0)] * 4
-        kv_pads[kv_axis] = (0, pad_k)
-        k = jnp.pad(k, kv_pads)
-        v = jnp.pad(v, kv_pads)
-        mask = jnp.pad(mask, ((0, 0), (0, pad_k)))
-        if k_scale is not None:
-            s_pads = [(0, 0)] * 3
-            s_pads[1 if kv_bshd else 2] = (0, pad_k)
-            k_scale = jnp.pad(k_scale, s_pads)
-            v_scale = jnp.pad(v_scale, s_pads)
-        kv_len += pad_k
-    num_chunks = kv_len // block_k
+    # Scanned path (training + scanned prefill): pad q to whole tiles;
+    # the kv axis runs as full chunks plus ONE static ragged tail block
+    # that re-reads the last ``block_k`` rows with the overlap masked out
+    # — pad-free, like the unroll path.  Padding kv instead costs
+    # (B, KV, H, D) copies of K/V/scales *per call*: at B=4 full size the
+    # scheduler kept four 88 MB padded cache copies live across the
+    # prefill segments, which is exactly what kept B=4 from fitting.
+    num_full = kv_len // block_k
+    tail_len = kv_len - num_full * block_k
+    tail_blk = min(block_k, kv_len)
+    tail_start = kv_len - tail_blk
 
     block_q = min(block_q, max(s, 1))
     pad_q = (-s) % block_q
@@ -298,11 +293,29 @@ def chunked_attention(
         # chunk's probability tile across every layer — at QVH scale
         # that is hundreds of GB.  Recomputing a chunk forward is one
         # small matmul.
-        carry, _ = jax.lax.scan(
-            jax.checkpoint(step, prevent_cse=False),
-            init_carry(block_q),
-            jnp.arange(num_chunks),
-        )
+        carry = init_carry(block_q)
+        if num_full > 0:
+            carry, _ = jax.lax.scan(
+                jax.checkpoint(step, prevent_cse=False),
+                carry,
+                jnp.arange(num_full),
+            )
+        if tail_len > 0 or num_full == 0:
+            def tail(c):
+                return attend(
+                    c, q_blk, q_pos, tail_start, tail_blk,
+                    min_kv=num_full * block_k if tail_start else 0,
+                )
+
+            if causal and causal_skip:
+                carry = jax.lax.cond(
+                    tail_start > q_end,
+                    lambda c: c,
+                    jax.checkpoint(tail, prevent_cse=False),
+                    carry,
+                )
+            else:
+                carry = jax.checkpoint(tail, prevent_cse=False)(carry)
         return finish(carry, q_blk)
 
     _, tiles = jax.lax.scan(
