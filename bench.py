@@ -205,13 +205,20 @@ def run(profile: str, steps: int | None = None, batch_size: int | None = None):
     model.generate(params, batch)
     compile_time = time.time() - t0
 
-    # Steady state with transfer/compute overlap (as the eval driver runs).
+    # Steady state, pipelined exactly as the eval driver runs: step i+1's
+    # transfer AND dispatch are issued before step i's token readback, so
+    # the device queue never drains across the host gap.
     t0 = time.time()
     dev = model.device_inputs(batch)
+    pending = None
     for i in range(steps):
         next_dev = model.device_inputs(batch) if i + 1 < steps else None
-        out = model.generate(params, batch, device_inputs=dev)
+        submitted = model.generate_submit(params, batch, device_inputs=dev)
+        if pending is not None:
+            model.generate_finalize(pending)
+        pending = submitted
         dev = next_dev
+    out = model.generate_finalize(pending)
     elapsed = time.time() - t0
     clips_per_sec = batch_size * steps / elapsed
     result = {

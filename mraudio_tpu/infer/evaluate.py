@@ -104,62 +104,90 @@ def run_inference(
     times = StageTimes()
     records = []
     n_clips = 0
+    want_saliency = cfg.model.saliency_head and hasattr(model, "saliency_scores")
+
+    def emit(batch, outputs, saliency):
+        nonlocal n_clips
+        for row, (qid, query, vid, raw_out, dur, valid) in enumerate(zip(
+            batch.qid, batch.query, batch.vid, outputs, batch.duration,
+            batch.valid,
+        )):
+            if not valid:
+                continue
+            windows = moment_str_to_list(post_process(raw_out))
+            # Relative time-format experiments emit 0-100 / 0-1 values;
+            # scale back to seconds before scoring
+            # (utils/utils.py:306-361 counterpart, window-level).
+            fmt = cfg.model.time_format
+            if fmt in ("relative_integers", "relative_floats"):
+                div = 100.0 if fmt == "relative_integers" else 1.0
+                windows = [
+                    [round(w[0] / div * dur, 2), round(w[1] / div * dur, 2)]
+                    if len(w) == 2 and -1 not in w
+                    else w
+                    for w in windows
+                ]
+            record = {
+                "qid": qid,
+                "query": query,
+                "vid": vid,
+                "pred_relevant_windows": windows,
+                "raw_out": raw_out,
+            }
+            if saliency is not None:
+                # single fused jit: decode + saliency share the encoder pass
+                record["pred_saliency_scores"] = saliency_to_clip_grid(
+                    batch.timestamps[row], saliency[row], dur
+                )
+            records.append(record)
+            n_clips += 1
+
+    # Two-deep pipeline: batch i+1's host->device transfer AND batch
+    # i+1's dispatch are both issued before batch i's tokens are read
+    # back, so the device queue never drains across the readback +
+    # span-parse gap (dispatch is async; the readback is the only sync
+    # point).  Models without generate_submit fall back to a one-shot
+    # generate inside `finalize`.
+    if hasattr(model, "generate_submit"):
+        def submit(batch, dev_in):
+            return model.generate_submit(params, batch, device_inputs=dev_in)
+
+        def finalize(pending):
+            if want_saliency:
+                return model.generate_finalize(pending, return_saliency=True)
+            return model.generate_finalize(pending), None
+    else:
+        def submit(batch, dev_in):
+            return (batch, dev_in)
+
+        def finalize(pending):
+            b, d = pending
+            if want_saliency:
+                return model.generate(params, b, device_inputs=d,
+                                      return_saliency=True)
+            return model.generate(params, b, device_inputs=d), None
+
     start = time.time()
     trace_ctx.__enter__()
-    # Double-buffer: kick off the next batch's host->device transfer while
-    # the current batch computes.
     it = iter(loader)
     current = next(it, None)
     dev = model.device_inputs(current) if current is not None else None
-    while current is not None:
-        batch = current
-        batch_dev = dev
-        current = next(it, None)
+    inflight = None  # (batch, pending-dispatch)
+    while current is not None or inflight is not None:
         if current is not None:
-            dev = model.device_inputs(current)
-        saliency = None
-        want_saliency = cfg.model.saliency_head and hasattr(model, "saliency_scores")
-        with times.stage("generate", items=int(batch.valid.sum())):
-            if want_saliency:
-                # single fused jit: decode + saliency share the encoder pass
-                outputs, saliency = model.generate(
-                    params, batch, device_inputs=batch_dev, return_saliency=True
-                )
-            else:
-                outputs = model.generate(params, batch, device_inputs=batch_dev)
-        with times.stage("parse_write"):
-            for row, (qid, query, vid, raw_out, dur, valid) in enumerate(zip(
-                batch.qid, batch.query, batch.vid, outputs, batch.duration,
-                batch.valid,
-            )):
-                if not valid:
-                    continue
-                windows = moment_str_to_list(post_process(raw_out))
-                # Relative time-format experiments emit 0-100 / 0-1 values;
-                # scale back to seconds before scoring
-                # (utils/utils.py:306-361 counterpart, window-level).
-                fmt = cfg.model.time_format
-                if fmt in ("relative_integers", "relative_floats"):
-                    div = 100.0 if fmt == "relative_integers" else 1.0
-                    windows = [
-                        [round(w[0] / div * dur, 2), round(w[1] / div * dur, 2)]
-                        if len(w) == 2 and -1 not in w
-                        else w
-                        for w in windows
-                    ]
-                record = {
-                    "qid": qid,
-                    "query": query,
-                    "vid": vid,
-                    "pred_relevant_windows": windows,
-                    "raw_out": raw_out,
-                }
-                if saliency is not None:
-                    record["pred_saliency_scores"] = saliency_to_clip_grid(
-                        batch.timestamps[row], saliency[row], dur
-                    )
-                records.append(record)
-                n_clips += 1
+            batch, batch_dev = current, dev
+            current = next(it, None)
+            dev = model.device_inputs(current) if current is not None else None
+            submitted = (batch, submit(batch, batch_dev))
+        else:
+            submitted = None
+        if inflight is not None:
+            pbatch, pending = inflight
+            with times.stage("generate", items=int(pbatch.valid.sum())):
+                outputs, saliency = finalize(pending)
+            with times.stage("parse_write"):
+                emit(pbatch, outputs, saliency)
+        inflight = submitted
     trace_ctx.__exit__(None, None, None)
     elapsed = time.time() - start
     clips_per_sec = n_clips / elapsed if elapsed > 0 else 0.0

@@ -262,7 +262,9 @@ class VideoLLaMA:
         call one batch ahead to overlap the transfer with compute."""
         return (jax.device_put(batch.video), jax.device_put(batch.audio))
 
-    def generate(self, params, batch, device_inputs=None) -> list[str]:
+    def generate_submit(self, params, batch, device_inputs=None):
+        """Dispatch the generate graph without blocking (async-dispatch
+        futures; same contract as ``XInstructBLIP.generate_submit``)."""
         cfg = self.cfg
         n_frms = batch.timestamps.shape[1]
         if device_inputs is None:
@@ -277,13 +279,21 @@ class VideoLLaMA:
         prompt_emb = self._embed_ids(params, jnp.asarray(enc.input_ids))
         embeds = jnp.concatenate([prefix, prompt_emb], axis=1)
         mask = jnp.concatenate([pmask, jnp.asarray(enc.attention_mask)], axis=1)
-        tokens = greedy_generate(
+        return greedy_generate(
             self.llm, {"params": params["llm"]}, embeds, mask,
             cfg.max_new_tokens, self.llm_tokenizer.eos_token_id,
         )
-        tokens = np.array(tokens)
+
+    def generate_finalize(self, pending, return_saliency: bool = False):
+        tokens = np.array(pending)
         tokens[tokens == 0] = self.llm_tokenizer.eos_token_id
-        return [t.strip() for t in self.llm_tokenizer.batch_decode(tokens)]
+        texts = [t.strip() for t in self.llm_tokenizer.batch_decode(tokens)]
+        return (texts, None) if return_saliency else texts
+
+    def generate(self, params, batch, device_inputs=None) -> list[str]:
+        return self.generate_finalize(
+            self.generate_submit(params, batch, device_inputs)
+        )
 
     @functools.partial(jax.jit, static_argnames=("self", "n_frms"))
     def _loss_fn(self, params, video_u8, audio_wave, concat_ids, concat_mask,

@@ -619,15 +619,13 @@ class XInstructBLIP:
             jax.device_put(batch.audio),
         )
 
-    def generate(self, params, batch, device_inputs=None,
-                 return_saliency: bool = False):
-        """Batched greedy span generation → decoded strings
-        (reference ``models/xinstructblip.py:221-397``).
-
-        With ``return_saliency=True`` (needs ``cfg.saliency_head``),
-        returns ``(texts, (B, T) saliency)`` computed from the same
-        encoder pass."""
-        cfg = self.cfg
+    def generate_submit(self, params, batch, device_inputs=None):
+        """Dispatch the whole generate graph WITHOUT blocking on the
+        result.  JAX dispatch is asynchronous, so the returned device
+        arrays are futures: the caller can submit the next batch (keeping
+        the device queue non-empty across the token readback + span-parse
+        gap — a real stall through a high-latency dispatch link) and
+        collect strings later via :meth:`generate_finalize`."""
         n_frms = batch.timestamps.shape[1]
         text = self.prepare_text(
             batch.text_input, np.asarray(batch.timestamps), batch.duration
@@ -635,7 +633,7 @@ class XInstructBLIP:
         if device_inputs is None:
             device_inputs = self.device_inputs(batch)
         video_dev, audio_dev = device_inputs
-        tokens, saliency = self._generate_tokens(
+        return self._generate_tokens(
             params,
             video_dev,
             audio_dev,
@@ -646,6 +644,10 @@ class XInstructBLIP:
             self._grammar_arrays(),
             n_frms=n_frms,
         )
+
+    def generate_finalize(self, pending, return_saliency: bool = False):
+        """Block on a :meth:`generate_submit` result and decode strings."""
+        tokens, saliency = pending
         tokens = np.array(tokens)
         # id-0 → eos repair before decode (models/xinstructblip.py:393).
         tokens[tokens == 0] = self.llm_tokenizer.eos_token_id
@@ -654,6 +656,19 @@ class XInstructBLIP:
         if return_saliency:
             return texts, (np.asarray(saliency) if saliency is not None else None)
         return texts
+
+    def generate(self, params, batch, device_inputs=None,
+                 return_saliency: bool = False):
+        """Batched greedy span generation → decoded strings
+        (reference ``models/xinstructblip.py:221-397``).
+
+        With ``return_saliency=True`` (needs ``cfg.saliency_head``),
+        returns ``(texts, (B, T) saliency)`` computed from the same
+        encoder pass."""
+        return self.generate_finalize(
+            self.generate_submit(params, batch, device_inputs),
+            return_saliency=return_saliency,
+        )
 
     # Param subtrees consumed only by _encode_modality_tokens.  Nothing
     # under them is trainable in the default (LoRA [+saliency]) setup,
