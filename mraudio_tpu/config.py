@@ -454,6 +454,15 @@ class TrainConfig(_ConfigBase):
     seed: int = 42
     output_dir: str = "output"
     resume_ckpt_path: str = ""
+    # Failure detection (the TPU shape of GradScaler's inf/nan step
+    # skipping, utils/trainer.py:67, plus explicit counting): a
+    # non-finite loss zeroes that micro-batch's gradients inside the
+    # jitted step (the grad accumulator and Adam moments never see the
+    # NaN) and suppresses the parameter update it feeds; the event is
+    # logged to the run log, and training aborts after `max_nan_skips`
+    # CONSECUTIVE bad steps instead of silently emitting NaN checkpoints.
+    nan_guard: bool = True
+    max_nan_skips: int = 10
     # Run the frozen encoders as their own jit program ahead of the LLM
     # loss/grad program (valid whenever nothing trainable feeds them).
     # Two smaller programs compile/schedule better, but note each

@@ -144,6 +144,7 @@ class Trainer:
         self.schedule = lavis_warmup_cosine_schedule(tc, self.steps_per_epoch)
         self.start_epoch = 0
         self.global_step = 0
+        self._nan_skips = 0  # consecutive non-finite-loss steps
         self._step_fns: dict[int, callable] = {}  # keyed on n_frms
         # Train-time RandomResizedCrop+flip (the reference's
         # AlproVideoTrainProcessor transform): parameters sampled
@@ -179,6 +180,23 @@ class Trainer:
     def _build_step(self, n_frms: int):
         model, tx = self.model, self.tx
         split = self._split_frozen_encoders()
+        nan_guard = self.cfg.train.nan_guard
+
+        def guarded_update(loss, grads, opt_state, trainable):
+            """Compute the optimizer update; with nan_guard, a non-finite
+            loss contributes zero gradients (the accumulator/moments never
+            see the NaN) and the update it feeds is not applied."""
+            if nan_guard:
+                good = jnp.isfinite(loss)
+                grads = jax.tree_util.tree_map(
+                    lambda g: jnp.where(good, g, jnp.zeros_like(g)), grads
+                )
+            updates, opt_state = tx.update(grads, opt_state, trainable)
+            if nan_guard:
+                updates = jax.tree_util.tree_map(
+                    lambda u: jnp.where(good, u, jnp.zeros_like(u)), updates
+                )
+            return optax.apply_updates(trainable, updates), opt_state
 
         if split is not None:
             frozen_enc, frozen_rest = split
@@ -203,8 +221,10 @@ class Trainer:
                     return model._loss_from_tokens(params, modal, *text_arrays)
 
                 loss, grads = jax.value_and_grad(loss_fn)(trainable)
-                updates, opt_state2 = tx.update(grads, opt_state, trainable)
-                return loss, optax.apply_updates(trainable, updates), opt_state2
+                trainable2, opt_state2 = guarded_update(
+                    loss, grads, opt_state, trainable
+                )
+                return loss, trainable2, opt_state2
 
             step_jit = jax.jit(step_fn, donate_argnums=(0, 2))
 
@@ -223,8 +243,9 @@ class Trainer:
                 )
 
             loss, grads = jax.value_and_grad(loss_fn)(trainable)
-            updates, opt_state = tx.update(grads, opt_state, trainable)
-            trainable = optax.apply_updates(trainable, updates)
+            trainable, opt_state = guarded_update(
+                loss, grads, opt_state, trainable
+            )
             return loss, trainable, opt_state
 
         return jax.jit(step_fn, donate_argnums=(0, 2))
@@ -317,9 +338,30 @@ class Trainer:
             )
             self.global_step += 1
             lr = float(self.schedule(self.global_step - 1))
-            metric_logger.update(loss=float(loss), lr=lr)
+            loss = float(loss)
+            if not np.isfinite(loss):
+                # the jitted step already zeroed this micro-batch's grads
+                # and suppressed its update (train.nan_guard); surface it.
+                self._nan_skips += 1
+                logger.warning(
+                    "non-finite loss at step %d (%d consecutive); "
+                    "gradients zeroed, update skipped",
+                    self.global_step, self._nan_skips,
+                )
+                self.runlog.log("nan_skip", step=self.global_step,
+                                epoch=epoch, consecutive=self._nan_skips)
+                tc = self.cfg.train
+                if tc.nan_guard and self._nan_skips >= tc.max_nan_skips:
+                    raise RuntimeError(
+                        f"{self._nan_skips} consecutive non-finite losses "
+                        f"(train.max_nan_skips={tc.max_nan_skips}); aborting "
+                        "instead of writing NaN checkpoints"
+                    )
+            else:
+                self._nan_skips = 0
+            metric_logger.update(loss=loss, lr=lr)
             self.runlog.log("train_step", step=self.global_step, epoch=epoch,
-                            loss=float(loss), lr=lr)
+                            loss=loss, lr=lr)
 
         metric_logger.synchronize_between_processes()
         logger.info("Averaged stats: %s", metric_logger.global_avg())
