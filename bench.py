@@ -92,13 +92,17 @@ def make_profile(name: str):
         # int4 halves weight bytes again — also an accuracy trade).
         quant = os.environ.get("MRAUDIO_BENCH_QUANT", "int8")
         # MRAUDIO_BENCH_MLP_CHUNK=N tiles the prefill MLP over N-token
-        # chunks (caps the (B, S, 11008) f32 gate/up temps — the largest
-        # prefill allocations at B>=3).
+        # chunks (caps the (B, S, 11008) f32 gate/up temps).  NOT part
+        # of the default B=3 config: measured to *grow* the compiled
+        # footprint next to prefill_chunk (the scan body's stacked temps
+        # outweigh the gate/up savings) — B=3 + prefill_chunk alone
+        # compiles, B=3 + both OOMs by 287 MB.
         mlp_chunk = int(os.environ.get("MRAUDIO_BENCH_MLP_CHUNK", "0"))
         # MRAUDIO_BENCH_PREFILL_CHUNK=N runs prefill in N-token segments
-        # (bit-identical tokens; caps the O(B*S) prefill temps — the
-        # lever for B>=3 on one chip).
-        pf_chunk = int(os.environ.get("MRAUDIO_BENCH_PREFILL_CHUNK", "0"))
+        # (bit-identical tokens; caps the O(B*S) prefill temps — this is
+        # what makes the default B=3 fit one 16 GB chip: measured 0.6488
+        # clips/s @ 38% MFU vs 0.5995 @ B=2 — docs/BENCHMARKS.md).
+        pf_chunk = int(os.environ.get("MRAUDIO_BENCH_PREFILL_CHUNK", "2048"))
         model = XInstructBLIPConfig(
             vit=ViTConfig(keyframe_interval=kf),
             llm=LlamaConfig(quantization=quant, kv_quant=kv_quant,
@@ -112,7 +116,7 @@ def make_profile(name: str):
         data = DataConfig.for_dataset("QVH").replace(
             video_source="synthetic", video_wire=wire
         )
-        return model, data, 2, 3
+        return model, data, 3, 3
 
     if name == "charades":
         # Charades-STA shapes (20 frames) on the full-size stack; int8
