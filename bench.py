@@ -60,7 +60,7 @@ def make_profile(name: str):
         data = DataConfig.for_dataset("QVH").replace(video_source="synthetic")
         return model, data, 2, 2
 
-    if name == "full":
+    if name in ("full", "charades"):
         # int8 KV cache by default: B=2 next to the int8 7B no longer
         # fits a 16 GB chip with a bf16 cache (5.7 GB vs 2.9 GB), and
         # the kernels consume the int8 tensors directly (scales fold
@@ -113,19 +113,30 @@ def make_profile(name: str):
             spec_width=spec,
             video_wire=wire,
         )
+        if name == "charades":
+            # Charades-STA shapes (20 frames) on the same full-size
+            # stack and knob surface; the ~3x shorter prefill (~0.5 GB
+            # int8 KV per row) admits a larger default batch — B=6
+            # measured 1.551 clips/s vs 1.321 at B=2.
+            data = DataConfig.for_dataset("Charades_STA").replace(
+                video_source="synthetic", video_wire=wire
+            )
+            return model, data, 6, 2
         data = DataConfig.for_dataset("QVH").replace(
             video_source="synthetic", video_wire=wire
         )
         return model, data, 3, 3
 
-    if name == "charades":
-        # Charades-STA shapes (20 frames) on the full-size stack; int8
-        # KV + streamed decode as in `full`.
-        model = XInstructBLIPConfig(
-            llm=LlamaConfig(quantization="int8", kv_quant="int8"),
-        )
-        data = DataConfig.for_dataset("Charades_STA").replace(video_source="synthetic")
-        return model, data, 2, 2
+    if name == "videollama":
+        # Backbone #2 (models/videollama.py) at full size on QVH shapes,
+        # sharing the `full` profile's knob surface.  The STC connector
+        # compresses 60 frames to ~960 LLM tokens (vs 5,353 for the
+        # interleaved X-InstructBLIP prefix), so the KV cache is ~4.4x
+        # smaller per row and a larger batch fits one chip.
+        from mraudio_tpu.models.videollama import videollama_config_from
+
+        base_model, data, _, _ = make_profile("full")
+        return videollama_config_from(base_model, data.n_frms), data, 4, 3
 
     raise ValueError(f"unknown profile {name}")
 
@@ -150,16 +161,30 @@ def make_batch(data_cfg, model, batch_size: int):
 def flops_report(model, data_cfg, batch_size: int, clips_per_sec: float,
                  device_kind: str) -> dict:
     """Analytic FLOPs + MFU for the measured configuration."""
-    from mraudio_tpu.utils.flops import peak_flops_for, pipeline_flops
+    from mraudio_tpu.models.videollama import VideoLLaMA
+    from mraudio_tpu.utils.flops import (
+        peak_flops_for,
+        pipeline_flops,
+        videollama_flops,
+    )
 
     cfg = model.cfg
     n_frms = data_cfg.n_frms
-    per_frame = sum(
-        len(model.cue_ids[m]) + cfg.qformer.num_query_tokens
-        for m in ("video", "audio") if m in cfg.modalities
-    ) + (cfg.tokens_per_timestamp if cfg.interleave_seconds else 0)
-    prefill = n_frms * per_frame + cfg.tokens_per_duration + cfg.max_txt_len
-    f = pipeline_flops(cfg, model.audio_cfg, n_frms, 1, prefill, cfg.max_new_tokens)
+    if isinstance(model, VideoLLaMA):
+        v_tok = (n_frms // cfg.temporal_stride) * (
+            cfg.vit.num_patches // cfg.spatial_pool ** 2
+        )
+        prefill = v_tok + n_frms + cfg.max_txt_len
+        f = videollama_flops(
+            cfg, model.audio_cfg, n_frms, 1, prefill, cfg.max_new_tokens
+        )
+    else:
+        per_frame = sum(
+            len(model.cue_ids[m]) + cfg.qformer.num_query_tokens
+            for m in ("video", "audio") if m in cfg.modalities
+        ) + (cfg.tokens_per_timestamp if cfg.interleave_seconds else 0)
+        prefill = n_frms * per_frame + cfg.tokens_per_duration + cfg.max_txt_len
+        f = pipeline_flops(cfg, model.audio_cfg, n_frms, 1, prefill, cfg.max_new_tokens)
     peak = peak_flops_for(device_kind)
     achieved = clips_per_sec * f["total"]
     # Decode is HBM-bound, not FLOPs-bound: quote its token rate from the
@@ -190,13 +215,17 @@ def enable_compile_cache():
 def run(profile: str, steps: int | None = None, batch_size: int | None = None):
     import jax
 
+    from mraudio_tpu.models.videollama import VideoLLaMA, VideoLLaMAConfig
     from mraudio_tpu.models.xinstructblip import XInstructBLIP
 
     model_cfg, data_cfg, default_batch, default_steps = make_profile(profile)
     steps = steps or default_steps
     batch_size = batch_size or default_batch
     setup_t0 = time.time()
-    model = XInstructBLIP(model_cfg, audio_cfg=data_cfg.audio)
+    if isinstance(model_cfg, VideoLLaMAConfig):
+        model = VideoLLaMA(model_cfg, audio_cfg=data_cfg.audio)
+    else:
+        model = XInstructBLIP(model_cfg, audio_cfg=data_cfg.audio)
     params = model.init_params(jax.random.PRNGKey(0))
     from mraudio_tpu.models.casting import cast_params_for_inference
 

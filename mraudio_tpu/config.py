@@ -222,8 +222,11 @@ class LlamaConfig(_ConfigBase):
     # that are the largest prefill allocations at B>=3 — the lever that
     # lets batch grow past the one-shot prefill's memory peak on a
     # 16 GB chip.  Costs one extra dispatch per segment; keep segments
-    # >= 1-2k tokens so prefill matmuls stay MXU-shaped.
-    prefill_chunk: int = 0
+    # >= 1-2k tokens so prefill matmuls stay MXU-shaped.  Default 2048:
+    # a no-op for prefixes that fit one segment (tiny tests, Charades),
+    # and the measured-win configuration at QVH full size (B=3,
+    # docs/BENCHMARKS.md); set 0 for a one-shot prefill.
+    prefill_chunk: int = 2048
     # Scan over the layer stack (one nn.scan body instead of 32 traced
     # block copies).  Params/cache carry a leading (num_layers,) axis —
     # weight loads stack the per-layer trees (models/convert_weights

@@ -125,6 +125,58 @@ def pipeline_flops(model_cfg, audio_cfg, n_frms: int, batch: int,
     }
 
 
+def videollama_flops(cfg, audio_cfg, n_frms: int, batch: int,
+                     prefill_len: int, decode_tokens: int) -> dict:
+    """Per-batch FLOPs of the VideoLLaMA backbone's generate pipeline
+    (``models/videollama.py``): folded ViT + BEATs encoders, the STC
+    connector / audio projector (two dense layers each), then LLM
+    prefill + decode.  No Q-Formers on this backbone."""
+    vit, beats, llm = cfg.vit, cfg.beats, cfg.llm
+
+    p_tok = vit.num_patches + (1 if vit.use_class_token else 0)
+    f_embed = 2 * p_tok * (vit.patch_size ** 2 * 3) * vit.width
+    f_vit = batch * n_frms * (
+        transformer_flops(p_tok, vit.width, vit.depth, vit.mlp_dim) + f_embed
+    )
+
+    a_tok = (audio_cfg.mel_frames_per_chunk // beats.patch_stride) * (
+        beats.num_mel_bins // beats.patch_stride
+    )
+    f_beats = batch * n_frms * (
+        transformer_flops(a_tok, beats.width, beats.depth, beats.mlp_dim)
+        + 2 * a_tok * beats.patch_size ** 2 * beats.conv_dim
+    )
+
+    # connector (pooled video tokens) + audio projector: 2 dense each
+    v_tok = (n_frms // cfg.temporal_stride) * (
+        vit.num_patches // (cfg.spatial_pool ** 2)
+    )
+    d = llm.hidden_size
+    f_conn = batch * 2 * (
+        v_tok * (vit.width * d + d * d) + n_frms * (beats.width * d + d * d)
+    )
+
+    kv_w = llm.num_kv_heads * llm.head_dim
+    f_prefill = batch * transformer_flops(
+        prefill_len, llm.hidden_size, llm.num_layers, llm.intermediate_size,
+        kv_len=prefill_len / 2, kv_width=kv_w, n_mlp_mats=3,
+    )
+    f_prefill += batch * 2 * prefill_len * llm.hidden_size * llm.vocab_size
+    avg_ctx = prefill_len + decode_tokens / 2
+    f_decode = batch * decode_tokens * (
+        transformer_flops(1, llm.hidden_size, llm.num_layers,
+                          llm.intermediate_size, kv_len=avg_ctx,
+                          kv_width=kv_w, n_mlp_mats=3)
+        + 2 * llm.hidden_size * llm.vocab_size
+    )
+
+    total = f_vit + f_beats + f_conn + f_prefill + f_decode
+    return {
+        "vit": f_vit, "beats": f_beats, "connector": f_conn,
+        "prefill": f_prefill, "decode": f_decode, "total": total,
+    }
+
+
 def prefill_length(model_cfg, n_frms: int) -> int:
     """Static interleave length: per frame [cue+32 qtok] per modality +
     timestamp budget, then duration + prompt."""
