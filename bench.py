@@ -116,12 +116,13 @@ def make_profile(name: str):
         if name == "charades":
             # Charades-STA shapes (20 frames) on the same full-size
             # stack and knob surface; the ~3x shorter prefill (~0.5 GB
-            # int8 KV per row) admits a larger default batch — B=6
-            # measured 1.551 clips/s vs 1.321 at B=2.
+            # int8 KV per row) admits a larger default batch — measured
+            # 1.321 (B=2) -> 1.551 (B=6) -> 1.786 clips/s (B=8);
+            # B=10 OOMs by 316 MB.
             data = DataConfig.for_dataset("Charades_STA").replace(
                 video_source="synthetic", video_wire=wire
             )
-            return model, data, 6, 2
+            return model, data, 8, 2
         data = DataConfig.for_dataset("QVH").replace(
             video_source="synthetic", video_wire=wire
         )
@@ -288,18 +289,23 @@ def cpu_baseline(profile: str) -> float:
             cache = json.load(f)
         if profile in cache:
             return cache[profile]
-        if profile in ("full", "charades") and "base" in cache:
+        if profile in ("full", "charades", "videollama") and "base" in cache:
             # A direct CPU run of the production stack is ~10 h/clip on
             # this 1-core host; scale the measured `base` CPU number by
             # the analytic FLOP ratio instead (marked estimated).
             from mraudio_tpu.config import AudioFrontendConfig
-            from mraudio_tpu.utils.flops import pipeline_flops
+            from mraudio_tpu.utils.flops import pipeline_flops, videollama_flops
 
             base_m, base_d, _, _ = make_profile("base")
             prof_m, prof_d, _, _ = make_profile(profile)
             audio = AudioFrontendConfig()
             base_f = pipeline_flops(base_m, audio, base_d.n_frms, 1, 2500, 64)["total"]
-            prof_f = pipeline_flops(prof_m, audio, prof_d.n_frms, 1, 5300, 64)["total"]
+            if profile == "videollama":
+                prof_f = videollama_flops(
+                    prof_m, audio, prof_d.n_frms, 1, 1148, 64
+                )["total"]
+            else:
+                prof_f = pipeline_flops(prof_m, audio, prof_d.n_frms, 1, 5300, 64)["total"]
             return cache["base"] * base_f / prof_f
     return 0.0
 

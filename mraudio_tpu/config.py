@@ -164,6 +164,11 @@ class LlamaConfig(_ConfigBase):
     # KV-cache storage: "none" keeps `dtype`; "int8" stores per-token
     # per-head absmax-quantized values + fp32 scales — halves decode HBM
     # reads and doubles the batch/slot count that fits beside the params.
+    # KV-cache storage format: "none" (model dtype), "int8" (per-(row,
+    # position, head) absmax, ~0.4% error — halves decode cache reads
+    # and slot bytes; the full-profile default), or "int4" (nibble-packed
+    # pairs along head_dim, 15 levels — another 2x off cache bytes at a
+    # real accuracy cost; validate on task metrics before production).
     kv_quant: str = "none"
     # Post-prefill KV compaction (0 = off): keep only the `kv_keep`
     # highest-scoring prefix positions PER LAYER before decoding, scored

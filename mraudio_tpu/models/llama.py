@@ -43,6 +43,24 @@ def quantize_kv(x: jax.Array):
     return q, scale
 
 
+def quantize_kv4(x: jax.Array):
+    """Per-(row, position, head) absmax int4 quantization of K/V, packed
+    two values per byte along head_dim (``ops/attention.pack_int4``).
+
+    Returns (uint8 packed (..., D/2), fp32 scales) with
+    ``x ≈ unpack_int4(q) * scale[..., None]``.  Coarser than int8 (15
+    levels per head row) — an accuracy trade for another 2x off decode
+    cache reads; see ``LlamaConfig.kv_quant``."""
+    from mraudio_tpu.ops.attention import pack_int4
+
+    scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 7.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -7, 7
+    ).astype(jnp.int8)
+    return pack_int4(q), scale
+
+
 def rope_frequencies(head_dim: int, theta: float) -> jnp.ndarray:
     return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
 
@@ -293,7 +311,10 @@ class LlamaAttention(nn.Module):
             # With kv_quant="int8" the cache stores int8 values + per
             # (row, position, head) fp32 scales — halves decode HBM reads
             # and doubles how many slots fit next to the 7B weights.
+            # kv_quant="int4" packs nibble pairs (uint8, D/2) for another
+            # 2x; the chunked kernel unpacks per tile.
             quantized = "k_scale" in cache
+            packed = quantized and cache["k"].dtype == jnp.uint8
 
             def write(dst, val):
                 if per_row_index:
@@ -303,8 +324,8 @@ class LlamaAttention(nn.Module):
                 return jax.lax.dynamic_update_slice(dst, val.astype(dst.dtype), idx)
 
             if quantized:
-                kq, ks = quantize_kv(k)
-                vq, vs = quantize_kv(v)
+                kq, ks = (quantize_kv4 if packed else quantize_kv)(k)
+                vq, vs = (quantize_kv4 if packed else quantize_kv)(v)
                 new_cache = {
                     "k": write(cache["k"], kq),
                     "v": write(cache["v"], vq),
@@ -341,6 +362,7 @@ class LlamaAttention(nn.Module):
             new_cache = None
             k_full, v_full = k, v
             quantized = False
+            packed = False
             k_scale = v_scale = None
 
         if kv_h != h:
@@ -385,6 +407,10 @@ class LlamaAttention(nn.Module):
             def _obs_chunk(i, acc):
                 q_c = jax.lax.dynamic_slice_in_dim(obs_q, i * hc, hc, axis=2)
                 k_c = jax.lax.dynamic_slice_in_dim(k_full, i * hc, hc, axis=2)
+                if packed:
+                    from mraudio_tpu.ops.attention import unpack_int4
+
+                    k_c = unpack_int4(k_c)
                 logits = jnp.einsum(
                     "bwhd,bkhd->bhwk", q_c, k_c.astype(q_c.dtype),
                     preferred_element_type=jnp.float32,
@@ -433,6 +459,11 @@ class LlamaAttention(nn.Module):
                 extra = {}
                 if quantized:
                     # The Mosaic kernel takes bf16 K/V; one-shot dequant.
+                    if packed:
+                        from mraudio_tpu.ops.attention import unpack_int4
+
+                        k_full = unpack_int4(k_full)
+                        v_full = unpack_int4(v_full)
                     k_full = k_full.astype(dtype) * k_scale[..., None].astype(dtype)
                     v_full = v_full.astype(dtype) * v_scale[..., None].astype(dtype)
             else:
@@ -462,12 +493,14 @@ class LlamaAttention(nn.Module):
                     # static shared offset (chunked prefill)
                     extra["q_offset"] = q_offset
                 if quantized:
-                    # Feed the int8 cache directly; the kernel dequants
-                    # 2 MB tiles (a full-cache bf16 dequant here costs
-                    # per-layer (B, H, KV, D) temps that cancel the int8
-                    # storage saving).
+                    # Feed the int8/int4 cache directly; the kernel
+                    # dequants (and for int4, unpacks) 2 MB tiles — a
+                    # full-cache bf16 dequant here costs per-layer
+                    # (B, H, KV, D) temps that cancel the quantized
+                    # storage saving.
                     extra["k_scale"] = k_scale
                     extra["v_scale"] = v_scale
+                    extra["kv_packed"] = packed
             if impl == "pallas":
                 out = fn(
                     q.transpose(0, 2, 1, 3),
@@ -483,6 +516,13 @@ class LlamaAttention(nn.Module):
                 # q positions are tile-relative, not absolute).
                 out = fn(q, k_full, v_full, kv_valid, causal=s > 1, **extra)
         else:
+            if packed:
+                # dense fallback path: unpack the whole int4 cache (this
+                # path is for debug/`attention_impl="dense"` runs only)
+                from mraudio_tpu.ops.attention import unpack_int4
+
+                k_full = unpack_int4(k_full)
+                v_full = unpack_int4(v_full)
             logits = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k_full.astype(q.dtype),
                 preferred_element_type=jnp.float32,
@@ -747,28 +787,39 @@ def compact_cache(cfg: LlamaConfig, cache, kv_valid, prefix_len: int,
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int):
-    """Preallocate a static-shape KV cache (int8 + scales when
-    ``cfg.kv_quant == "int8"``).  Per-layer list of dicts; with
+    """Preallocate a static-shape KV cache (quantized values + scales
+    when ``cfg.kv_quant`` is ``"int8"`` or ``"int4"`` — int4 packs two
+    values per byte along head_dim).  Per-layer list of dicts; with
     ``cfg.scan_layers`` one dict whose leaves carry a leading
     (num_layers,) axis instead (the nn.scan xs/ys layout)."""
     shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.kv_quant == "int8":
+        qshape, qdtype = shape, jnp.int8
+    elif cfg.kv_quant == "int4":
+        if cfg.head_dim % 2:
+            raise ValueError("kv_quant='int4' needs an even head_dim")
+        qshape, qdtype = shape[:-1] + (cfg.head_dim // 2,), jnp.uint8
+    else:
+        qshape = qdtype = None
     if cfg.scan_layers:
-        lshape = (cfg.num_layers,) + shape
-        if cfg.kv_quant == "int8":
+        if qshape is not None:
+            lq = (cfg.num_layers,) + qshape
+            ls = (cfg.num_layers,) + shape[:-1]
             return {
-                "k": jnp.zeros(lshape, jnp.int8),
-                "v": jnp.zeros(lshape, jnp.int8),
-                "k_scale": jnp.zeros(lshape[:-1], jnp.float32),
-                "v_scale": jnp.zeros(lshape[:-1], jnp.float32),
+                "k": jnp.zeros(lq, qdtype),
+                "v": jnp.zeros(lq, qdtype),
+                "k_scale": jnp.zeros(ls, jnp.float32),
+                "v_scale": jnp.zeros(ls, jnp.float32),
             }
         dtype = jnp.dtype(cfg.dtype)
+        lshape = (cfg.num_layers,) + shape
         return {"k": jnp.zeros(lshape, dtype), "v": jnp.zeros(lshape, dtype)}
-    if cfg.kv_quant == "int8":
+    if qshape is not None:
         sshape = shape[:-1]
         return [
             {
-                "k": jnp.zeros(shape, jnp.int8),
-                "v": jnp.zeros(shape, jnp.int8),
+                "k": jnp.zeros(qshape, qdtype),
+                "v": jnp.zeros(qshape, qdtype),
                 "k_scale": jnp.zeros(sshape, jnp.float32),
                 "v_scale": jnp.zeros(sshape, jnp.float32),
             }

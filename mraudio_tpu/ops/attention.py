@@ -29,10 +29,32 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def pack_int4(q: jax.Array) -> jax.Array:
+    """Pack int8 values in [-8, 7] into uint8 nibble pairs along the last
+    axis: element ``i`` of the first half goes to the low nibble, element
+    ``i`` of the second half to the high nibble (the same plane
+    convention as the int4 weight path, ``models/llama.py``)."""
+    d = q.shape[-1]
+    lo = q[..., : d // 2].astype(jnp.int32)
+    hi = q[..., d // 2:].astype(jnp.int32)
+    return (((hi & 15) << 4) | (lo & 15)).astype(jnp.uint8)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_int4`: uint8 (..., D/2) → int8 (..., D).
+    Arithmetic shifts sign-extend each nibble."""
+    i8 = jax.lax.bitcast_convert_type(packed, jnp.int8)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(i8, jnp.int8(4)), jnp.int8(4)
+    )
+    hi = jax.lax.shift_right_arithmetic(i8, jnp.int8(4))
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "block_k", "block_q", "causal_skip", "unroll_q",
-                     "kv_bshd", "q_bshd", "q_offset"),
+                     "kv_bshd", "q_bshd", "q_offset", "kv_packed"),
 )
 def chunked_attention(
     q: jax.Array,          # (B, H, S, D); (B, S, H, D) with q_bshd=True
@@ -51,6 +73,7 @@ def chunked_attention(
     q_bshd: bool = False,
     q_abs: jax.Array | None = None,     # (B, S) absolute kv columns of q
     q_offset: int = 0,                  # static column of query 0 (chunked prefill)
+    kv_packed: bool = False,            # K/V are int4 nibble pairs (uint8, D/2)
 ) -> jax.Array:
     """Online-softmax attention in pure XLA: an outer ``lax.map`` over
     query tiles and an inner ``lax.scan`` over kv chunks with running
@@ -122,6 +145,12 @@ def chunked_attention(
         acc, m_i, l_i = carry
         k_blk = jax.lax.dynamic_slice_in_dim(k, kv_start, blk, kv_axis)
         v_blk = jax.lax.dynamic_slice_in_dim(v, kv_start, blk, kv_axis)
+        if kv_packed:
+            # int4 cache: unpack this tile's nibble pairs to int8 (the
+            # tile is ~1 MB — the full-cache unpack this avoids is the
+            # point of storing packed).  Scales apply as in int8.
+            k_blk = unpack_int4(k_blk)
+            v_blk = unpack_int4(v_blk)
         m_blk = jax.lax.dynamic_slice_in_dim(mask, kv_start, blk, 1)
         kv_spec = "bkhd" if kv_bshd else "bhkd"
         q_spec = "bshd" if q_bshd else "bhsd"
