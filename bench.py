@@ -201,16 +201,10 @@ def flops_report(model, data_cfg, batch_size: int, clips_per_sec: float,
 
 def enable_compile_cache():
     """Persistent XLA compilation cache: repeat bench runs of the same
-    graph skip the multi-minute full-size compile (no-op if the backend
-    doesn't support client-side caching)."""
-    import jax
+    graph skip the multi-minute full-size compile."""
+    from mraudio_tpu.utils.platform import enable_compile_cache as _enable
 
-    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    _enable(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
 def run(profile: str, steps: int | None = None, batch_size: int | None = None):
