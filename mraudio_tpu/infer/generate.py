@@ -45,6 +45,12 @@ def prefill_cache(model, params, prefix_embeds, positions, full_mask,
         starts = [0]
     else:
         starts = list(range(0, s, chunk))
+    # SnapKV observation window for kv_keep: the last kv_keep_obs queries
+    # of the FULL prefix.  Chunks accumulate their window-resident
+    # queries' scores (models/llama.py), so chunked == one-shot exactly.
+    obs_start = (
+        s - min(model.cfg.kv_keep_obs, s) if model.cfg.kv_keep > 0 else None
+    )
     hidden = None
     for o in starts:
         c = min(chunk, s - o) if chunk else s
@@ -58,6 +64,7 @@ def prefill_cache(model, params, prefix_embeds, positions, full_mask,
         hidden, cache = model.apply(
             params, emb_c, attend, pos_c, cache=cache, cache_index=o,
             kv_valid=written, causal=True, return_hidden=True,
+            obs_start=obs_start,
         )
     return hidden, cache
 

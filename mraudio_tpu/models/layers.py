@@ -20,8 +20,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-# Large negative value used for masked logits in bf16-safe range.
-NEG_INF = -1e9
+# Large negative value for masked logits — the single definition shared
+# by the dense paths and the streaming attention kernels
+# (ops/attention.py imports it), so masked-softmax behavior never drifts
+# between implementations.  Representable in bf16 and f32 (bf16 carries
+# the full f32 exponent range); exp(NEG_INF - m) underflows to exact 0.
+NEG_INF = -1e30
 
 
 class LayerNormFp32(nn.Module):

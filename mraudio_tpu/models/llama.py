@@ -268,7 +268,8 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, positions, cache=None, cache_index=None,
-                 deterministic: bool = True, kv_valid=None, causal=False):
+                 deterministic: bool = True, kv_valid=None, causal=False,
+                 obs_start=None):
         cfg = self.cfg
         b, s, _ = x.shape
         h, d = cfg.num_heads, cfg.head_dim
@@ -375,60 +376,76 @@ class LlamaAttention(nn.Module):
 
         if (
             cfg.kv_keep > 0 and cache is not None and not per_row_index
-            and s > 1 and "valid" not in cache
+            and "valid" not in cache and obs_start is not None
         ):
             # Prefill under KV compaction: score every cache column by
-            # the softmax mass the last `kv_keep_obs` prefix queries (the
-            # text prompt) put on it — the SnapKV observation-window
-            # statistic compact_cache consumes.  Scored in head-group
-            # chunks (fori_loop): softmax is per-head independent, so the
-            # (B, hc, W, KV) tile per step replaces a full (B, H, W, KV)
-            # f32 tile per layer (≥ 130 MB at B=3 QVH full size — the
-            # allocation that kept int4 + kv_keep from fitting B=3).
-            w_obs = min(cfg.kv_keep_obs, s)
-            obs_q = q[:, s - w_obs:]
+            # the softmax mass the prefix's last `kv_keep_obs` queries
+            # (the text prompt) put on it — the SnapKV observation-window
+            # statistic compact_cache consumes.  ``obs_start`` is the
+            # *absolute* column where that window begins (the caller —
+            # prefill_cache — computes it from the FULL prefix length);
+            # under chunked prefill each chunk contributes the scores of
+            # its queries that fall inside the window, ACCUMULATED into
+            # the cache's running ``obs_score``, so the final statistic
+            # is exactly the one-shot pass's (each query's softmax row is
+            # identical: it attends the same already-written columns).
+            # Scored in head-group chunks (fori_loop): softmax is
+            # per-head independent, so the (B, hc, W, KV) tile per step
+            # replaces a full (B, H, W, KV) f32 tile per layer (≥ 130 MB
+            # at B=3 QVH full size — the allocation that kept
+            # int4 + kv_keep from fitting B=3).
             kv_len = k_full.shape[1]
-            kv_cols = jnp.arange(kv_len)[None, None, None, :]
-            # q_offset: under chunked prefill every chunk writes a score
-            # (cheap — w_obs queries) and the FINAL chunk's overwrites it,
-            # which is exactly the SnapKV statistic: the last w_obs prefix
-            # queries scoring every cache column.
-            q_cols_obs = (
-                q_offset + s - w_obs
-            ) + jnp.arange(w_obs)[None, None, :, None]
-            ok = (kv_cols <= q_cols_obs)
-            if kv_valid is not None:
-                ok = ok & (kv_valid[:, None, None, :] > 0)
-                # padding queries (interior timestamp slots / short rows)
-                # contribute nothing
-                qv = jax.lax.dynamic_slice_in_dim(kv_valid, s - w_obs, w_obs, 1)
-            hc = 4 if h % 4 == 0 else 1
-
-            def _obs_chunk(i, acc):
-                q_c = jax.lax.dynamic_slice_in_dim(obs_q, i * hc, hc, axis=2)
-                k_c = jax.lax.dynamic_slice_in_dim(k_full, i * hc, hc, axis=2)
-                if packed:
-                    from mraudio_tpu.ops.attention import unpack_int4
-
-                    k_c = unpack_int4(k_c)
-                logits = jnp.einsum(
-                    "bwhd,bkhd->bhwk", q_c, k_c.astype(q_c.dtype),
-                    preferred_element_type=jnp.float32,
-                ) * (d ** -0.5)
-                if quantized:
-                    ks_c = jax.lax.dynamic_slice_in_dim(
-                        k_scale, i * hc, hc, axis=2
-                    )
-                    logits = logits * ks_c.transpose(0, 2, 1)[:, :, None, :]
-                logits = jnp.where(ok, logits, NEG_INF)
-                probs = jax.nn.softmax(logits, axis=-1)
-                if kv_valid is not None:
-                    probs = probs * qv[:, None, :, None].astype(probs.dtype)
-                return acc + probs.sum(axis=(1, 2))
-
-            new_cache["obs_score"] = jax.lax.fori_loop(
-                0, h // hc, _obs_chunk, jnp.zeros((b, kv_len), jnp.float32)
+            prev_score = cache.get(
+                "obs_score", jnp.zeros((b, kv_len), jnp.float32)
             )
+            lo = max(obs_start - q_offset, 0)  # static chunk-local start
+            if lo < s:
+                w_obs = s - lo
+                obs_q = q[:, lo:]
+                kv_cols = jnp.arange(kv_len)[None, None, None, :]
+                q_cols_obs = (
+                    q_offset + lo
+                ) + jnp.arange(w_obs)[None, None, :, None]
+                ok = (kv_cols <= q_cols_obs)
+                if kv_valid is not None:
+                    ok = ok & (kv_valid[:, None, None, :] > 0)
+                    # padding queries (interior timestamp slots / short
+                    # rows) contribute nothing; their validity lives at
+                    # their ABSOLUTE columns of the cache-wide mask
+                    qv = jax.lax.dynamic_slice_in_dim(
+                        kv_valid, q_offset + lo, w_obs, 1
+                    )
+                hc = 4 if h % 4 == 0 else 1
+
+                def _obs_chunk(i, acc):
+                    q_c = jax.lax.dynamic_slice_in_dim(obs_q, i * hc, hc, axis=2)
+                    k_c = jax.lax.dynamic_slice_in_dim(k_full, i * hc, hc, axis=2)
+                    if packed:
+                        from mraudio_tpu.ops.attention import unpack_int4
+
+                        k_c = unpack_int4(k_c)
+                    logits = jnp.einsum(
+                        "bwhd,bkhd->bhwk", q_c, k_c.astype(q_c.dtype),
+                        preferred_element_type=jnp.float32,
+                    ) * (d ** -0.5)
+                    if quantized:
+                        ks_c = jax.lax.dynamic_slice_in_dim(
+                            k_scale, i * hc, hc, axis=2
+                        )
+                        logits = logits * ks_c.transpose(0, 2, 1)[:, :, None, :]
+                    logits = jnp.where(ok, logits, NEG_INF)
+                    probs = jax.nn.softmax(logits, axis=-1)
+                    if kv_valid is not None:
+                        probs = probs * qv[:, None, :, None].astype(probs.dtype)
+                    return acc + probs.sum(axis=(1, 2))
+
+                new_cache["obs_score"] = jax.lax.fori_loop(
+                    0, h // hc, _obs_chunk, prev_score
+                )
+            else:
+                # chunk entirely before the observation window: carry the
+                # running score through unchanged
+                new_cache["obs_score"] = prev_score
 
         # Memory-efficient attention for multi-token calls
         # (prefill/training).  Decode steps (s == 1) use the dense path
@@ -612,11 +629,12 @@ class LlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, positions, cache=None, cache_index=None,
-                 deterministic: bool = True, kv_valid=None, causal=False):
+                 deterministic: bool = True, kv_valid=None, causal=False,
+                 obs_start=None):
         h = RMSNorm(epsilon=self.cfg.rms_norm_eps, name="input_norm")(x)
         h, new_cache = LlamaAttention(self.cfg, self.lora, name="attn")(
             h, mask, positions, cache, cache_index, deterministic,
-            kv_valid=kv_valid, causal=causal,
+            kv_valid=kv_valid, causal=causal, obs_start=obs_start,
         )
         x = x + h
         h = RMSNorm(epsilon=self.cfg.rms_norm_eps, name="post_attn_norm")(x)
@@ -653,7 +671,9 @@ class LlamaModel(nn.Module):
         )
         block_cls = LlamaBlock
         if self.cfg.grad_checkpoint:
-            block_cls = nn.remat(LlamaBlock, static_argnums=(6, 8))
+            # static args: deterministic (6), causal (8), obs_start (9)
+            # — flax remat counts `self` as arg 0
+            block_cls = nn.remat(LlamaBlock, static_argnums=(6, 8, 9))
         if self.cfg.scan_layers:
             # One nn.scan body instead of num_layers traced copies:
             # params/cache gain a leading (L,) axis (see
@@ -664,7 +684,8 @@ class LlamaModel(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast, 0, nn.broadcast,
-                         nn.broadcast, nn.broadcast, nn.broadcast),
+                         nn.broadcast, nn.broadcast, nn.broadcast,
+                         nn.broadcast),
                 out_axes=0,
                 length=self.cfg.num_layers,
             )(self.cfg, self.lora)
@@ -702,13 +723,14 @@ class LlamaModel(nn.Module):
         return_hidden: bool = False,
         kv_valid: Optional[jax.Array] = None,  # (B, KV) {0,1}: enables flash
         causal: bool = False,
+        obs_start: Optional[int] = None,  # abs col where the SnapKV obs window starts
     ):
         x = inputs_embeds.astype(jnp.dtype(self.cfg.dtype))
         if self.cfg.scan_layers:
             # cache: stacked pytree with leading (L,) axis (init_cache)
             x, scanned_cache = self.layers(
                 x, mask, positions, cache, cache_index,
-                deterministic, kv_valid, causal,
+                deterministic, kv_valid, causal, obs_start,
             )
             new_cache = scanned_cache if cache is not None else []
         else:
@@ -717,7 +739,7 @@ class LlamaModel(nn.Module):
                 layer_cache = cache[i] if cache is not None else None
                 # fully positional so nn.remat's static_argnums line up
                 x, c = block(x, mask, positions, layer_cache, cache_index,
-                             deterministic, kv_valid, causal)
+                             deterministic, kv_valid, causal, obs_start)
                 new_cache.append(c)
         x = self.final_norm(x)
         if return_hidden:

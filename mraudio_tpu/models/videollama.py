@@ -297,7 +297,7 @@ class VideoLLaMA:
 
     @functools.partial(jax.jit, static_argnames=("self", "n_frms"))
     def _loss_fn(self, params, video_u8, audio_wave, concat_ids, concat_mask,
-                 labels, crop_params=None, *, n_frms):
+                 labels, crop_params=None, dropout_rng=None, *, n_frms):
         prefix, pmask = self._prefix(
             params, video_u8, audio_wave, n_frms, crop_params=crop_params
         )
@@ -313,6 +313,8 @@ class VideoLLaMA:
         logits, _ = self.llm.apply(
             {"params": params["llm"]}, embeds, attend, positions_from_mask(mask),
             kv_valid=mask, causal=True,
+            deterministic=dropout_rng is None,
+            rngs=None if dropout_rng is None else {"dropout": dropout_rng},
         )
         shift_logits, shift_labels = logits[:, :-1], full_labels[:, 1:]
         valid = shift_labels != -100

@@ -686,7 +686,7 @@ class XInstructBLIP:
     def _loss_fn(
         self, params, video_u8, audio_wave, qformer_ids, qformer_mask,
         ts_ids, ts_mask, dur_ids, dur_mask, concat_ids, concat_mask, labels,
-        saliency_labels=None, crop_params=None,
+        saliency_labels=None, crop_params=None, dropout_rng=None,
         *, n_frms,
     ):
         modal = self._encode_modality_tokens(
@@ -696,11 +696,13 @@ class XInstructBLIP:
         return self._loss_from_tokens(
             params, modal, ts_ids, ts_mask, dur_ids, dur_mask,
             concat_ids, concat_mask, labels, saliency_labels,
+            dropout_rng=dropout_rng,
         )
 
     def _loss_from_tokens(
         self, params, modal, ts_ids, ts_mask, dur_ids, dur_mask,
         concat_ids, concat_mask, labels, saliency_labels=None,
+        dropout_rng=None,
     ):
         """CE (+ saliency BCE) from precomputed modal tokens; consumes
         only the ``llm`` (+ ``saliency_head``) param subtrees."""
@@ -720,9 +722,14 @@ class XInstructBLIP:
         causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
         attend = causal & mask[:, None, None, :].astype(bool)
         positions = positions_from_mask(mask)
+        # dropout_rng activates LoRA dropout (reference peft LoraConfig
+        # dropout=0.05 is live during training — models/model_utils.py:4-27);
+        # eval/loss probes pass None and stay deterministic.
         hidden, _ = self.llm.apply(
             {"params": params["llm"]}, embeds, attend, positions,
             kv_valid=mask, causal=True, return_hidden=True,
+            deterministic=dropout_rng is None,
+            rngs=None if dropout_rng is None else {"dropout": dropout_rng},
         )
 
         # Shifted CE with -100 ignore, mean over valid targets (HF

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e30
+from mraudio_tpu.models.layers import NEG_INF
 
 
 def pack_int4(q: jax.Array) -> jax.Array:

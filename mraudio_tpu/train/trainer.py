@@ -150,6 +150,9 @@ class Trainer:
         # AlproVideoTrainProcessor transform): parameters sampled
         # host-side, applied on device inside the jitted step.
         self._aug_rng = np.random.default_rng(tc.seed + 17)
+        # LoRA dropout (reference peft dropout=0.05): one key folded with
+        # the global step per train step.
+        self._drop_key = jax.random.PRNGKey(tc.seed + 29)
 
         from mraudio_tpu.utils.runlog import RunLogger
 
@@ -215,10 +218,13 @@ class Trainer:
                 )
 
             # Program B: LLM loss + LoRA/saliency grads + update.
-            def step_fn(trainable, frozen_rest, opt_state, modal, text_arrays):
+            def step_fn(trainable, frozen_rest, opt_state, modal, text_arrays,
+                        rng):
                 def loss_fn(tr):
                     params = merge_params(tr, frozen_rest)
-                    return model._loss_from_tokens(params, modal, *text_arrays)
+                    return model._loss_from_tokens(
+                        params, modal, *text_arrays, dropout_rng=rng
+                    )
 
                 loss, grads = jax.value_and_grad(loss_fn)(trainable)
                 trainable2, opt_state2 = guarded_update(
@@ -228,18 +234,19 @@ class Trainer:
 
             step_jit = jax.jit(step_fn, donate_argnums=(0, 2))
 
-            def run(trainable, frozen, opt_state, arrays, crop):
+            def run(trainable, frozen, opt_state, arrays, crop, rng):
                 modal = encode_fn(enc_params, *arrays[:4], crop)
                 return step_jit(trainable, frozen_rest, opt_state, modal,
-                                arrays[4:])
+                                arrays[4:], rng)
 
             return run
 
-        def step_fn(trainable, frozen, opt_state, arrays, crop):
+        def step_fn(trainable, frozen, opt_state, arrays, crop, rng):
             def loss_fn(tr):
                 params = merge_params(tr, frozen)
                 return model._loss_fn(
-                    params, *arrays, crop_params=crop, n_frms=n_frms
+                    params, *arrays, crop_params=crop, dropout_rng=rng,
+                    n_frms=n_frms
                 )
 
             loss, grads = jax.value_and_grad(loss_fn)(trainable)
@@ -335,22 +342,31 @@ class Trainer:
             loss, self.trainable, self.opt_state = step_fn(
                 self.trainable, self.frozen, self.opt_state, arrays,
                 self._sample_crops(batch),
+                jax.random.fold_in(self._drop_key, self.global_step),
             )
             self.global_step += 1
             lr = float(self.schedule(self.global_step - 1))
             loss = float(loss)
             if not np.isfinite(loss):
-                # the jitted step already zeroed this micro-batch's grads
-                # and suppressed its update (train.nan_guard); surface it.
                 self._nan_skips += 1
-                logger.warning(
-                    "non-finite loss at step %d (%d consecutive); "
-                    "gradients zeroed, update skipped",
-                    self.global_step, self._nan_skips,
-                )
-                self.runlog.log("nan_skip", step=self.global_step,
-                                epoch=epoch, consecutive=self._nan_skips)
                 tc = self.cfg.train
+                if tc.nan_guard:
+                    # the jitted step zeroed this micro-batch's grads and
+                    # suppressed its update (train.nan_guard); surface it.
+                    logger.warning(
+                        "non-finite loss at step %d (%d consecutive); "
+                        "gradients zeroed, update skipped",
+                        self.global_step, self._nan_skips,
+                    )
+                else:
+                    logger.warning(
+                        "non-finite loss at step %d (%d consecutive); "
+                        "train.nan_guard=False — the NaN update WAS applied",
+                        self.global_step, self._nan_skips,
+                    )
+                self.runlog.log("nan_skip", step=self.global_step,
+                                epoch=epoch, consecutive=self._nan_skips,
+                                guarded=tc.nan_guard)
                 if tc.nan_guard and self._nan_skips >= tc.max_nan_skips:
                     raise RuntimeError(
                         f"{self._nan_skips} consecutive non-finite losses "

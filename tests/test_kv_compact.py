@@ -121,6 +121,7 @@ def test_prefill_emits_observation_scores(setup):
     _, cache = model2.apply(
         {"params": params}, x, causal, positions_from_mask(mask01),
         cache=cache, cache_index=0, kv_valid=mask01, causal=True,
+        obs_start=S - 6,  # callers (prefill_cache) pass S_total - kv_keep_obs
     )
     layers = cache if isinstance(cache, list) else [cache]
     sc = np.asarray(layers[0]["obs_score"])

@@ -70,6 +70,58 @@ def test_chunked_prefill_matches_one_shot(base, variant):
         np.testing.assert_array_equal(got, ref, err_msg=f"chunk={chunk}")
 
 
+def test_chunked_obs_score_matches_one_shot(base):
+    """The SnapKV compaction statistic (per-layer ``obs_score``) must be
+    the same whether the prefill ran one-shot or chunked — including a
+    final chunk of length 1 (regression: used to KeyError) and chunks
+    shorter than the observation window (regression: the window used to
+    shrink to the final chunk and read the wrong validity columns)."""
+    from mraudio_tpu.infer.generate import prefill_cache
+
+    cfg, params, x, mask01 = base
+    cfg = cfg.replace(kv_quant="int8", kv_keep=12, kv_keep_obs=6,
+                      kv_keep_sink=2)
+    # interior padding INSIDE the observation window of row 0 — the
+    # validity slice must come from the queries' absolute columns
+    m = np.array(mask01)
+    m[0, 19:21] = 0
+
+    def obs(chunk):
+        model = LlamaModel(cfg.replace(prefill_chunk=chunk), None)
+        mask = jnp.asarray(m)
+        positions = positions_from_mask(mask)
+        alloc = S + MAX_NEW
+        full_mask = (
+            jnp.zeros((2, alloc), jnp.int32).at[:, :S].set(mask)
+        )
+        _, cache = prefill_cache(
+            model, params, jnp.asarray(x), positions, full_mask, alloc
+        )
+        return np.stack([np.asarray(layer["obs_score"]) for layer in cache])
+
+    ref = obs(0)
+    assert np.abs(ref).max() > 0, "one-shot scores must be non-trivial"
+    for chunk in (8, 10, 23):  # 23 -> final chunk of length 1
+        np.testing.assert_allclose(
+            obs(chunk), ref, rtol=2e-5, atol=2e-5, err_msg=f"chunk={chunk}"
+        )
+
+
+def test_chunked_prefill_kv_keep_interior_padding(base):
+    """Token-level parity for kv_keep under chunked prefill with padding
+    inside the observation window (the case whose compaction scores used
+    to be silently wrong)."""
+    cfg, params, x, mask01 = base
+    cfg = cfg.replace(kv_quant="int8", kv_keep=12, kv_keep_obs=6,
+                      kv_keep_sink=2)
+    m = np.array(mask01)
+    m[0, 19:21] = 0
+    ref = _tokens(cfg, params, x, m)
+    for chunk in (10, 23):
+        got = _tokens(cfg.replace(prefill_chunk=chunk), params, x, m)
+        np.testing.assert_array_equal(got, ref, err_msg=f"chunk={chunk}")
+
+
 def test_chunked_prefill_grammar(base):
     from mraudio_tpu.infer.generate import grammar_generate
     from mraudio_tpu.text.grammar import compile_grammar

@@ -230,3 +230,51 @@ def test_int8_kv_cache_in_serving_engine():
         assert engine.submit(Request(rid, emb, np.ones(s, np.int32)))
     done = engine.run_to_completion()
     assert {c.request_id for c in done} == {0, 1}
+
+
+def test_lora_dropout_active_in_training(tmp_path):
+    """LoRA dropout (reference peft LoraConfig dropout=0.05) must be live
+    when a dropout rng is threaded through the loss: gradients w.r.t. the
+    LoRA params depend on the rng, are reproducible for the same rng, and
+    match the deterministic path when no rng is passed."""
+    from mraudio_tpu.config import tiny_data_config, tiny_model_config
+    from mraudio_tpu.data.dataset import MRDataset, collate
+    from mraudio_tpu.models.xinstructblip import XInstructBLIP
+    from mraudio_tpu.train.optim import merge_params, split_trainable
+
+    cfg = tiny_model_config()
+    assert cfg.lora.dropout > 0
+    model = XInstructBLIP(cfg, audio_cfg=tiny_data_config().audio)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    path = str(tmp_path / "ann.jsonl")
+    with open(path, "w") as f:
+        f.write(json.dumps({
+            "vid": "v0", "qid": 0, "query": "someone acts",
+            "duration": 150, "relevant_windows": [[12, 34]],
+        }) + "\n")
+    ds = MRDataset(tiny_data_config(n_frms=4), annotation_path=path)
+    batch = collate([ds.get(0)], 1)
+    arrays = tuple(jnp.asarray(a) for a in model.loss_arrays(batch))
+
+    trainable, frozen = split_trainable(params)
+
+    def grads(rng):
+        def loss_fn(tr):
+            return model._loss_fn(
+                merge_params(tr, frozen), *arrays, dropout_rng=rng, n_frms=4
+            )
+
+        g = jax.grad(loss_fn)(trainable)
+        return np.concatenate([
+            np.asarray(v).ravel() for _, v in sorted(g.items())
+        ])
+
+    g_none = grads(None)
+    g_a = grads(jax.random.PRNGKey(1))
+    g_a2 = grads(jax.random.PRNGKey(1))
+    g_b = grads(jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(g_a, g_a2, rtol=0, atol=0)  # reproducible
+    assert np.abs(g_a - g_b).max() > 0, "dropout rng has no effect"
+    assert np.abs(g_a - g_none).max() > 0, "dropout never fired"
