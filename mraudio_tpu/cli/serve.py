@@ -56,7 +56,8 @@ def encode_requests(model, params, dataset, limit=None):
     return requests
 
 
-def serve(model, params, requests, max_slots: int, max_new_tokens: int):
+def serve(model, params, requests, max_slots: int, max_new_tokens: int,
+          max_prefill_batch: int = 0):
     """Run the stream through the engine; returns (records, stats)."""
     from mraudio_tpu.infer.serving import ContinuousBatcher
     from mraudio_tpu.text.postprocess import moment_str_to_list, post_process
@@ -65,6 +66,7 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int):
     engine = ContinuousBatcher(
         model.llm, {"params": params["llm"]}, prefix_len,
         max_new_tokens, model.llm_tokenizer.eos_token_id, max_slots=max_slots,
+        max_prefill_batch=max_prefill_batch,
     )
 
     pending = list(requests)
@@ -102,6 +104,7 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int):
     stats = {
         "requests": len(records),
         "slots": max_slots,
+        "max_prefill_batch": engine.max_prefill_batch,
         "elapsed_s": round(elapsed, 2),
         "requests_per_sec": round(len(records) / elapsed, 4),
         "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
@@ -126,6 +129,11 @@ def main(argv=None):
     parser.add_argument("--model-size", default="full", choices=["full", "tiny"])
     parser.add_argument("--n-frms", type=int, default=0)
     parser.add_argument("--slots", type=int, default=4)
+    parser.add_argument("--max-prefill-batch", type=int, default=0,
+                        help="cap the batched-admission prefill width "
+                        "(0 = up to --slots); at QVH full size a 16 GB "
+                        "chip runs 4 decode slots but only a 2-wide "
+                        "prefill next to them")
     parser.add_argument("--max-requests", type=int, default=0)
     parser.add_argument("--sweep-slots", default="",
                         help="comma-separated slot counts to benchmark, e.g. 1,2,4,8")
@@ -153,12 +161,14 @@ def main(argv=None):
     if args.sweep_slots:
         for slots in (int(s) for s in args.sweep_slots.split(",")):
             _, stats = serve(model, params, requests, slots,
-                             model.cfg.max_new_tokens)
+                             model.cfg.max_new_tokens,
+                             max_prefill_batch=args.max_prefill_batch)
             print(json.dumps(stats))
         return
 
     records, stats = serve(model, params, requests, args.slots,
-                           model.cfg.max_new_tokens)
+                           model.cfg.max_new_tokens,
+                           max_prefill_batch=args.max_prefill_batch)
     if args.output_file:
         with open(args.output_file, "w") as f:
             for r in records:

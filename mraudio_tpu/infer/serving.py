@@ -55,6 +55,7 @@ class ContinuousBatcher:
         max_new_tokens: int,
         eos_id: int,
         max_slots: int = 4,
+        max_prefill_batch: int = 0,
     ):
         self.model = model
         self.params = params
@@ -62,6 +63,11 @@ class ContinuousBatcher:
         self.max_new_tokens = max_new_tokens
         self.eos_id = eos_id
         self.max_slots = max_slots
+        # Cap the batched-admission prefill width (0 = up to max_slots).
+        # The prefill graph's temps are O(B·S): at QVH full size a 16 GB
+        # chip holds 4 decode slots but not a 4-wide prefill next to
+        # them, so slots and admission width are independent knobs.
+        self.max_prefill_batch = max_prefill_batch or max_slots
         # cfg.kv_keep: each request's prefill cache is compacted to the
         # top-keep columns before it enters a slot, so a slot's
         # steady-state region is (keep + budget) columns — at QVH full
@@ -172,7 +178,7 @@ class ContinuousBatcher:
         prefill jit compiles at most log2(max_slots)+1 shapes; padded
         rows' outputs are discarded and never touch the slot cache."""
         free = np.where(~self.active)[0]
-        n = min(len(requests), len(free))
+        n = min(len(requests), len(free), self.max_prefill_batch)
         if n == 0:
             return 0
         take, slots = requests[:n], free[:n]

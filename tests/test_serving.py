@@ -109,6 +109,18 @@ def test_submit_many_matches_sequential(setup):
     bat = run(ContinuousBatcher(model, params, max_slots=4, **kw), True)
     assert seq == bat and set(bat) == {0, 1, 2}
 
+    # max_prefill_batch caps admission width (the prefill graph's O(B·S)
+    # temps are independent of slot count) without changing tokens
+    capped_engine = ContinuousBatcher(
+        model, params, max_slots=4, max_prefill_batch=2, **kw
+    )
+    assert capped_engine.submit_many(reqs) == 2  # capped below free slots
+    cap = run(
+        ContinuousBatcher(model, params, max_slots=4, max_prefill_batch=2, **kw),
+        True,
+    )
+    assert cap == seq
+
 
 def test_submit_many_with_kv_keep(setup):
     """Batched admission through the compacted-cache path (per-layer
