@@ -53,6 +53,7 @@ def encode_requests(model, params, dataset, limit=None):
             (Request(i, np.asarray(embeds[0]), np.asarray(mask[0])),
              dataset.annotation[i])
         )
+        logger.info("encoded request %d/%d", i + 1, n)
     return requests
 
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mraudio_tpu.config import BeatsConfig
-from mraudio_tpu.models.layers import Attention, LayerNormFp32, Mlp
+from mraudio_tpu.models.layers import Attention, LayerNormFp32, Mlp, gelu_exact
 
 
 def t5_relative_buckets(
@@ -152,7 +152,7 @@ class BeatsEncoder(nn.Module):
             param_dtype=jnp.float32,
             name="pos_conv",
         )(x)
-        x = x + nn.gelu(pos)
+        x = x + gelu_exact(pos)
         x = LayerNormFp32(epsilon=cfg.layer_norm_eps, name="pre_encoder_norm")(x)
 
         seq_len = x.shape[1]

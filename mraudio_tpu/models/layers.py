@@ -14,11 +14,18 @@ Conventions:
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Exact (erf-based) GELU: torch ``nn.GELU()`` / HF ``"gelu"`` semantics.
+# ``nn.gelu``'s default is the tanh approximation, which would be a small
+# systematic divergence from every reference encoder (EVA-ViT, Q-Former,
+# BEATs all use torch's default GELU).
+gelu_exact = functools.partial(nn.gelu, approximate=False)
 
 # Large negative value for masked logits — the single definition shared
 # by the dense paths and the streaming attention kernels
@@ -127,7 +134,7 @@ class Attention(nn.Module):
 
 class Mlp(nn.Module):
     hidden_dim: int
-    activation: Callable = nn.gelu
+    activation: Callable = gelu_exact
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact

@@ -50,7 +50,7 @@ from mraudio_tpu.config import (
 from mraudio_tpu.infer.generate import greedy_generate
 from mraudio_tpu.models.beats import BeatsEncoder
 from mraudio_tpu.models.eva_vit import EvaViT
-from mraudio_tpu.models.layers import positions_from_mask
+from mraudio_tpu.models.layers import gelu_exact, positions_from_mask
 from mraudio_tpu.models.llama import LlamaModel
 from mraudio_tpu.ops.fbank import beats_frontend
 from mraudio_tpu.ops.image import augment_and_normalize, normalize_frames
@@ -115,7 +115,7 @@ class STCConnector(nn.Module):
 
         h = nn.Dense(self.out_features, dtype=self.dtype, param_dtype=jnp.float32,
                      name="proj_in")(x)
-        h = nn.gelu(h)
+        h = gelu_exact(h)
         return nn.Dense(self.out_features, dtype=self.dtype, param_dtype=jnp.float32,
                         name="proj_out")(h)
 
@@ -131,7 +131,7 @@ class AudioProjector(nn.Module):
         pooled = chunk_tokens.mean(axis=2)
         h = nn.Dense(self.out_features, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc1")(pooled)
-        h = nn.gelu(h)
+        h = gelu_exact(h)
         return nn.Dense(self.out_features, dtype=self.dtype, param_dtype=jnp.float32,
                         name="fc2")(h)
 

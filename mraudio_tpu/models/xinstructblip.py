@@ -38,7 +38,7 @@ from flax import linen as nn
 from mraudio_tpu.config import AudioFrontendConfig, XInstructBLIPConfig
 from mraudio_tpu.models.beats import BeatsEncoder
 from mraudio_tpu.models.eva_vit import EvaViT
-from mraudio_tpu.models.layers import LayerNormFp32, positions_from_mask
+from mraudio_tpu.models.layers import LayerNormFp32, gelu_exact, positions_from_mask
 from mraudio_tpu.models.llama import LlamaModel
 from mraudio_tpu.models.qformer import QFormer
 from mraudio_tpu.ops.fbank import beats_frontend
@@ -72,7 +72,7 @@ class _SaliencyHead(nn.Module):
         """(B, T, Q, D) → (B, T) scores."""
         pooled = video_tokens.mean(axis=2).astype(jnp.float32)
         h = nn.Dense(256, param_dtype=jnp.float32, name="fc1")(pooled)
-        h = nn.gelu(h)
+        h = gelu_exact(h)
         return nn.Dense(1, param_dtype=jnp.float32, name="fc2")(h)[..., 0]
 
 
