@@ -16,6 +16,7 @@ def build_config(args):
     from mraudio_tpu.config import (
         DataConfig,
         RunConfig,
+        full_model_config,
         tiny_data_config,
         tiny_model_config,
     )
@@ -27,7 +28,11 @@ def build_config(args):
             model=tiny_model_config(), data=tiny_data_config(n_frms=args.n_frms or 4)
         )
     else:
-        cfg = RunConfig(data=DataConfig.for_dataset(args.dataset))
+        # int8 weights + int8 KV: the bf16 default config cannot run on
+        # one 16 GB chip (docs/BENCHMARKS.md "Memory").
+        cfg = RunConfig(
+            model=full_model_config(), data=DataConfig.for_dataset(args.dataset)
+        )
 
     data = cfg.data.replace(
         video_folder=args.video_folder or cfg.data.video_folder,

@@ -44,7 +44,8 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
 
     from mraudio_tpu.config import (
-        DataConfig, RunConfig, tiny_data_config, tiny_model_config,
+        DataConfig, RunConfig, full_model_config, tiny_data_config,
+        tiny_model_config,
     )
 
     if args.config:
@@ -52,13 +53,19 @@ def main(argv=None):
     elif args.model_size == "tiny":
         cfg = RunConfig(model=tiny_model_config(), data=tiny_data_config())
     else:
-        cfg = RunConfig(data=DataConfig.for_dataset(args.dataset))
-        # full-size training needs rematerialization (measured: backward
-        # without it wants >250GB HBM at QVH shapes; see docs/BENCHMARKS.md)
-        cfg = cfg.replace(model=cfg.model.replace(
-            vit=cfg.model.vit.replace(grad_checkpoint=True),
-            llm=cfg.model.llm.replace(grad_checkpoint=True),
-        ))
+        # int8 frozen base + bf16 LoRA adapters — the reference trains
+        # LoRA over a bitsandbytes 8-bit base (load_in_8bit,
+        # /root/reference/models/xinstructblip.py:151); full-size
+        # training also needs rematerialization (measured: backward
+        # without it wants >250GB HBM at QVH shapes; docs/BENCHMARKS.md)
+        model = full_model_config()
+        cfg = RunConfig(
+            model=model.replace(
+                vit=model.vit.replace(grad_checkpoint=True),
+                llm=model.llm.replace(grad_checkpoint=True),
+            ),
+            data=DataConfig.for_dataset(args.dataset),
+        )
 
     cfg = cfg.replace(
         model_name=args.model,

@@ -106,6 +106,7 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         "requests": len(records),
         "slots": max_slots,
         "max_prefill_batch": engine.max_prefill_batch,
+        "kv_keep": engine.kv_keep,
         "elapsed_s": round(elapsed, 2),
         "requests_per_sec": round(len(records) / elapsed, 4),
         "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
@@ -136,6 +137,11 @@ def main(argv=None):
                         "chip runs 4 decode slots but only a 2-wide "
                         "prefill next to them")
     parser.add_argument("--max-requests", type=int, default=0)
+    parser.add_argument("--kv-keep", type=int, default=0,
+                        help="SnapKV slot-cache compaction to the top-N "
+                        "prefix columns (an approximation; ~3.5x smaller "
+                        "slot KV at QVH full size — lets more decode "
+                        "slots fit one chip)")
     parser.add_argument("--sweep-slots", default="",
                         help="comma-separated slot counts to benchmark, e.g. 1,2,4,8")
     args = parser.parse_args(argv)
@@ -150,6 +156,10 @@ def main(argv=None):
 
     args.num_chunks, args.chunk_idx, args.dataset = 1, 0, "QVH"
     cfg = build_config(args)
+    if args.kv_keep:
+        cfg = cfg.replace(
+            model=cfg.model.replace(llm=cfg.model.llm.replace(kv_keep=args.kv_keep))
+        )
     model = build_model(cfg)
     params = cast_params_for_inference(load_pretrained_params(model, cfg))
 

@@ -550,6 +550,18 @@ def tiny_model_config(
     )
 
 
+def full_model_config() -> XInstructBLIPConfig:
+    """The production-size stack as it actually deploys on one 16 GB
+    v5e chip: int8 7B weights + int8 KV cache.  The all-defaults
+    ``XInstructBLIPConfig()`` is the *reference-semantics* description
+    (bf16 7B ≈ 14 GB of params) and cannot run single-chip — CLIs that
+    accept ``--model-size full`` must use this config, matching
+    ``bench.py::make_profile`` (docs/BENCHMARKS.md "Memory")."""
+    return XInstructBLIPConfig(
+        llm=LlamaConfig(quantization="int8", kv_quant="int8")
+    )
+
+
 def tiny_data_config(n_frms: int = 4) -> DataConfig:
     return DataConfig(
         dataset="QVH",

@@ -122,3 +122,31 @@ def test_trainer_resume(tiny_run):
     )
     trainer = Trainer(resume_cfg)
     assert trainer.start_epoch >= 1
+
+
+def test_trainer_int8_base(tmp_path):
+    """LoRA training over an int8-quantized frozen base — the reference's
+    actual configuration (LoRA over a bitsandbytes 8-bit Vicuna,
+    ``models/xinstructblip.py:151,163``), and what ``cli/finetune.py``
+    builds for ``--model-size full``: gradients must flow through the
+    bf16 adapter branch beside the quantized matmul."""
+    train_ann = _write_ann(tmp_path, "train.jsonl", 4)
+    val_ann = _write_ann(tmp_path, "val.jsonl", 2)
+    cfg = RunConfig(
+        model=tiny_model_config(quantization="int8"),
+        data=tiny_data_config(n_frms=4).replace(
+            train_annotation_file=train_ann, val_annotation_file=val_ann
+        ),
+        train=TrainConfig(
+            max_epoch=2, batch_size=2, warmup_steps=2, accum_grad_iters=1,
+            output_dir=str(tmp_path / "out"), val_freq=2, save_freq=2,
+        ),
+    )
+    trainer = Trainer(cfg)
+    before = jax.tree_util.tree_map(np.asarray, trainer.trainable)
+    trainer.train()
+    moved = any(
+        float(np.abs(np.asarray(trainer.trainable[k]) - before[k]).max()) > 1e-6
+        for k in before
+    )
+    assert moved
