@@ -58,7 +58,7 @@ def encode_requests(model, params, dataset, limit=None):
 
 
 def serve(model, params, requests, max_slots: int, max_new_tokens: int,
-          max_prefill_batch: int = 0):
+          max_prefill_batch: int = 0, steps_per_dispatch: int = 1):
     """Run the stream through the engine; returns (records, stats)."""
     from mraudio_tpu.infer.serving import ContinuousBatcher
     from mraudio_tpu.text.postprocess import moment_str_to_list, post_process
@@ -68,6 +68,7 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         model.llm, {"params": params["llm"]}, prefix_len,
         max_new_tokens, model.llm_tokenizer.eos_token_id, max_slots=max_slots,
         max_prefill_batch=max_prefill_batch,
+        steps_per_dispatch=steps_per_dispatch,
     )
 
     pending = list(requests)
@@ -107,6 +108,7 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         "slots": max_slots,
         "max_prefill_batch": engine.max_prefill_batch,
         "kv_keep": engine.kv_keep,
+        "steps_per_dispatch": engine.steps_per_dispatch,
         "elapsed_s": round(elapsed, 2),
         "requests_per_sec": round(len(records) / elapsed, 4),
         "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
@@ -142,6 +144,11 @@ def main(argv=None):
                         "prefix columns (an approximation; ~3.5x smaller "
                         "slot KV at QVH full size — lets more decode "
                         "slots fit one chip)")
+    parser.add_argument("--steps-per-dispatch", type=int, default=1,
+                        help="decode micro-steps per jitted dispatch; >1 "
+                        "amortizes the host round-trip per token (token-"
+                        "identical up to EOS; finished rows hold their "
+                        "slot until the window ends)")
     parser.add_argument("--sweep-slots", default="",
                         help="comma-separated slot counts to benchmark, e.g. 1,2,4,8")
     args = parser.parse_args(argv)
@@ -173,13 +180,15 @@ def main(argv=None):
         for slots in (int(s) for s in args.sweep_slots.split(",")):
             _, stats = serve(model, params, requests, slots,
                              model.cfg.max_new_tokens,
-                             max_prefill_batch=args.max_prefill_batch)
+                             max_prefill_batch=args.max_prefill_batch,
+                             steps_per_dispatch=args.steps_per_dispatch)
             print(json.dumps(stats))
         return
 
     records, stats = serve(model, params, requests, args.slots,
                            model.cfg.max_new_tokens,
-                           max_prefill_batch=args.max_prefill_batch)
+                           max_prefill_batch=args.max_prefill_batch,
+                           steps_per_dispatch=args.steps_per_dispatch)
     if args.output_file:
         with open(args.output_file, "w") as f:
             for r in records:

@@ -56,6 +56,7 @@ class ContinuousBatcher:
         eos_id: int,
         max_slots: int = 4,
         max_prefill_batch: int = 0,
+        steps_per_dispatch: int = 1,
     ):
         self.model = model
         self.params = params
@@ -68,6 +69,15 @@ class ContinuousBatcher:
         # chip holds 4 decode slots but not a 4-wide prefill next to
         # them, so slots and admission width are independent knobs.
         self.max_prefill_batch = max_prefill_batch or max_slots
+        # Decode micro-steps per jitted dispatch.  Every engine step costs
+        # a host->device round trip; over a remote/tunneled link (or any
+        # host-driven deployment) that latency, not the decode matmuls,
+        # dominates per-token time.  K>1 runs a lax.scan of K steps in one
+        # dispatch — token-identical up to EOS (each row's math never
+        # depends on the others); a row that finishes mid-window holds its
+        # slot until the window ends, so K trades admission granularity
+        # for dispatch amortization.
+        self.steps_per_dispatch = max(1, steps_per_dispatch)
         # cfg.kv_keep: each request's prefill cache is compacted to the
         # top-keep columns before it enters a slot, so a slot's
         # steady-state region is (keep + budget) columns — at QVH full
@@ -101,6 +111,7 @@ class ContinuousBatcher:
 
         self._prefill = jax.jit(self._prefill_fn)
         self._decode = jax.jit(self._decode_fn, donate_argnums=(1,))
+        self._decode_window = jax.jit(self._decode_window_fn, donate_argnums=(1,))
         self._write_slots = jax.jit(self._write_slots_fn, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
@@ -146,6 +157,42 @@ class ContinuousBatcher:
         else:
             upd = lambda dst, src: dst.at[slots].set(src[:n].astype(dst.dtype))
         return jax.tree_util.tree_map(upd, cache, batch_cache)
+
+    def _decode_window_fn(self, params, cache, cur_ids, positions, valid,
+                          lengths, active):
+        """``steps_per_dispatch`` decode micro-steps in one dispatch.
+
+        Emits the token written at each micro-step (``cur_ids`` at entry,
+        then each argmax) — identical, row-wise, to repeated ``_decode``
+        calls: rows never read each other's state.  Inactive rows are
+        frozen (no valid/position/length advance); their KV writes land
+        on a never-valid column and are overwritten at admission, exactly
+        as in the single-step path."""
+        rows = jnp.arange(self.max_slots)
+        a_i32 = active.astype(jnp.int32)
+
+        def micro(carry, _):
+            cache, cur_ids, positions, valid, lengths = carry
+            col = jnp.minimum(lengths, self.max_len - 1)
+            valid = valid.at[rows, col].max(a_i32)
+            embeds = self.model.apply(
+                params, method=lambda m, ids: m.embed(ids), ids=cur_ids[:, None]
+            )
+            attend = valid[:, None, None, :].astype(bool)
+            logits, cache = self.model.apply(
+                params, embeds, attend, (positions + 1)[:, None],
+                cache=cache, cache_index=col, kv_valid=valid,
+            )
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            emitted = cur_ids
+            cur_ids = jnp.where(active, nxt, cur_ids)
+            return (cache, cur_ids, positions + a_i32, valid, lengths + a_i32), emitted
+
+        carry, toks = jax.lax.scan(
+            micro, (cache, cur_ids, positions, valid, lengths),
+            None, length=self.steps_per_dispatch,
+        )
+        return carry + (toks,)
 
     def _decode_fn(self, params, cache, cur_ids, positions, valid, write_cols):
         embeds = self.model.apply(
@@ -219,9 +266,12 @@ class ContinuousBatcher:
         return n
 
     def step(self) -> list[Completion]:
-        """Advance every active slot by one token."""
+        """Advance every active slot by one token (``steps_per_dispatch``
+        tokens per call when configured)."""
         if not self.active.any():
             return []
+        if self.steps_per_dispatch > 1:
+            return self._step_window()
 
         active_idx = np.where(self.active)[0]
         # the token being written becomes attendable this step
@@ -252,6 +302,44 @@ class ContinuousBatcher:
                 self.cur_ids[i] = int(nxt[i])
                 self.positions[i] += 1
                 self.lengths[i] += 1
+        return completions
+
+    def _step_window(self) -> list[Completion]:
+        (self.cache, cur_ids, positions, valid, lengths, toks) = (
+            self._decode_window(
+                self.params,
+                self.cache,
+                jnp.asarray(self.cur_ids),
+                jnp.asarray(self.positions),
+                jnp.asarray(self.valid),
+                jnp.asarray(self.lengths),
+                jnp.asarray(self.active),
+            )
+        )
+        toks = np.asarray(toks)                     # (K, max_slots)
+        cur_ids, positions = np.asarray(cur_ids), np.asarray(positions)
+        valid, lengths = np.array(valid), np.asarray(lengths)  # valid: writable copy
+
+        completions = []
+        for i in np.where(self.active)[0]:
+            finished = False
+            for k in range(self.steps_per_dispatch):
+                token = int(toks[k, i])
+                self.emitted[i].append(token)
+                if token == self.eos_id or len(self.emitted[i]) >= self.max_new_tokens:
+                    completions.append(
+                        Completion(self.slot_request[i], self.emitted[i])
+                    )
+                    self.active[i] = False
+                    self.slot_request[i] = None
+                    finished = True
+                    break
+            if not finished:
+                self.cur_ids[i] = int(cur_ids[i])
+                self.positions[i] = int(positions[i])
+                self.lengths[i] = int(lengths[i])
+        self.valid = valid
+        self.valid[~self.active] = 0
         return completions
 
     def run_to_completion(self) -> list[Completion]:

@@ -222,3 +222,36 @@ def test_serve_cli_end_to_end(tmp_path):
     assert {r["qid"] for r in rows} == set(range(5))
     for r in rows:
         assert "pred_relevant_windows" in r and r["latency_s"] > 0
+
+
+def test_steps_per_dispatch_token_parity(setup):
+    """K decode micro-steps per dispatch (lax.scan window) must emit the
+    same tokens as single-step dispatch — rows never read each other's
+    state, and a finished row's window tail is discarded host-side."""
+    model, params, s, d = setup
+    max_new = 6
+    prefixes = _make_prefixes(4, s, d, seed=5)
+    reqs = [Request(i, e, m) for i, (e, m) in enumerate(prefixes)]
+
+    def run(engine):
+        pending = list(reqs)
+        results = {}
+        while engine.active.any() or pending:
+            if pending and engine.free_slots():
+                admitted = engine.submit_many(pending)
+                del pending[:admitted]
+            for comp in engine.step():
+                results[comp.request_id] = comp.token_ids
+        return results
+
+    kw = dict(prefix_len=s, max_new_tokens=max_new, eos_id=2)
+    # 2 slots + 4 requests: the second pair is admitted only after the
+    # first pair's windows finish — exercises re-admission into slots
+    # whose window state was discarded.  K=4 does not divide max_new=6:
+    # exercises the budget-trim inside a window.
+    base = run(ContinuousBatcher(model, params, max_slots=2, **kw))
+    for k in (2, 4):
+        windowed = run(ContinuousBatcher(
+            model, params, max_slots=2, steps_per_dispatch=k, **kw
+        ))
+        assert windowed == base, f"K={k} diverged"
