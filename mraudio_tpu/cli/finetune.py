@@ -35,6 +35,12 @@ def main(argv=None):
     parser.add_argument("--model-size", default="full", choices=["full", "tiny"])
     parser.add_argument("--resume", default="", help="checkpoint dir to resume from")
     parser.add_argument(
+        "--quant-frozen", default="", choices=["", "none", "int8"],
+        help="store frozen weights int8, dequantized inside the jitted "
+        "step (models/quant_tree.py) — the memory lever that fits the "
+        "full-size 7B LoRA step on one 16 GB chip",
+    )
+    parser.add_argument(
         "--optimizer", default="adamw", choices=["adamw", "adam"],
         help="'adamw' = the reference's intended optimizer; "
              "'adam' reproduces its live (buggy) plain-Adam override",
@@ -83,6 +89,7 @@ def main(argv=None):
             batch_size=args.batch_size,
             num_workers=args.num_workers,
             resume_ckpt_path=args.resume,
+            **({"quant_frozen": args.quant_frozen} if args.quant_frozen else {}),
         ),
         llm_weights=args.model_path,
         beats_weights=args.audio_encoder,

@@ -478,6 +478,15 @@ class TrainConfig(_ConfigBase):
     # arguments — on a memory-saturated chip the single fused program's
     # accounting is the honest one (set False there).
     split_encode_step: bool = True
+    # Opt-in memory lever: store the frozen param subtree's large float
+    # kernels int8 (+fp32 per-out-channel scales), dequantized inside the
+    # jitted step (models/quant_tree.py).  "none" | "int8".  With
+    # split_encode_step this makes the frozen encoders resident at the
+    # int8 byte rate (~1.35 GB instead of 2.7) — what lets the full-size
+    # 7B LoRA step fit a single 16 GB v5e (docs/BENCHMARKS.md).  An
+    # approximation vs. the reference's fp16 encoders; the LLM base is
+    # int8 in both (load_in_8bit parity).
+    quant_frozen: str = "none"
 
 
 @dataclass(frozen=True)

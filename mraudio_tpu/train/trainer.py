@@ -98,6 +98,18 @@ class Trainer:
             self.frozen = traverse_util.flatten_dict(
                 cast_params_for_inference(frozen_tree)
             )
+        if tc.quant_frozen == "int8":
+            from mraudio_tpu.models.quant_tree import (
+                quantize_frozen, quantized_bytes_saved,
+            )
+
+            self.frozen = quantize_frozen(self.frozen)
+            logger.info(
+                "quant_frozen=int8: %.2f GB of frozen weights saved",
+                quantized_bytes_saved(self.frozen) / 2**30,
+            )
+        elif tc.quant_frozen not in ("none", ""):
+            raise ValueError(f"unknown quant_frozen={tc.quant_frozen!r}")
         n_train = sum(x.size for x in self.trainable.values())
         n_total = sum(x.size for x in jax.tree_util.tree_leaves(params))
         logger.info("trainable params: %d / %d", n_train, n_total)
@@ -201,17 +213,24 @@ class Trainer:
                 )
             return optax.apply_updates(trainable, updates), opt_state
 
+        from mraudio_tpu.models.quant_tree import dequantize_frozen
+
         if split is not None:
             frozen_enc, frozen_rest = split
-            enc_params = traverse_util.unflatten_dict(frozen_enc)
 
             # Program A: frozen encoders + Q-Formers + projections.
             # Nothing trainable feeds them, so the boundary carries no
             # gradients — and their weights aren't arguments of the
-            # backward program.
+            # backward program.  With quant_frozen the encoder args are
+            # resident int8; the dequant runs inside this forward-only
+            # program where XLA fuses it into each matmul's weight read
+            # (no bf16 copy is ever stored).
             @jax.jit
-            def encode_fn(enc_params, video_u8, audio_wave, qformer_ids,
+            def encode_fn(enc_flat, video_u8, audio_wave, qformer_ids,
                           qformer_mask, crop):
+                enc_params = traverse_util.unflatten_dict(
+                    dequantize_frozen(enc_flat)
+                )
                 return model._encode_modality_tokens(
                     enc_params, video_u8, audio_wave, qformer_ids,
                     qformer_mask, n_frms, crop_params=crop,
@@ -221,7 +240,7 @@ class Trainer:
             def step_fn(trainable, frozen_rest, opt_state, modal, text_arrays,
                         rng):
                 def loss_fn(tr):
-                    params = merge_params(tr, frozen_rest)
+                    params = merge_params(tr, dequantize_frozen(frozen_rest))
                     return model._loss_from_tokens(
                         params, modal, *text_arrays, dropout_rng=rng
                     )
@@ -235,7 +254,7 @@ class Trainer:
             step_jit = jax.jit(step_fn, donate_argnums=(0, 2))
 
             def run(trainable, frozen, opt_state, arrays, crop, rng):
-                modal = encode_fn(enc_params, *arrays[:4], crop)
+                modal = encode_fn(frozen_enc, *arrays[:4], crop)
                 return step_jit(trainable, frozen_rest, opt_state, modal,
                                 arrays[4:], rng)
 
@@ -243,7 +262,7 @@ class Trainer:
 
         def step_fn(trainable, frozen, opt_state, arrays, crop, rng):
             def loss_fn(tr):
-                params = merge_params(tr, frozen)
+                params = merge_params(tr, dequantize_frozen(frozen))
                 return model._loss_fn(
                     params, *arrays, crop_params=crop, dropout_rng=rng,
                     n_frms=n_frms
@@ -291,7 +310,12 @@ class Trainer:
 
     @property
     def params(self) -> dict:
-        return merge_params(self.trainable, self.frozen)
+        from mraudio_tpu.models.quant_tree import dequantize_frozen
+
+        # Validation/generate run on the plain tree; with quant_frozen
+        # the bf16 encoder copies materialize here — fine between steps,
+        # when no backward activations are resident.
+        return merge_params(self.trainable, dequantize_frozen(self.frozen))
 
     # ------------------------------------------------------------------
 
