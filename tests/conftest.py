@@ -11,6 +11,13 @@ import types
 
 # Must happen before any `import jax` in the test session.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Keep tests hermetic: CLI mains invoked in-process enable the repo's
+# persistent XLA compile cache (utils/platform.py), and a pytest process
+# sharing .jax_cache with a concurrent full-size benchmark/probe can
+# read a torn entry (observed: zstd abort inside
+# compilation_cache.get_executable_and_time).  Tiny CPU graphs don't
+# need the cache anyway.
+os.environ.setdefault("MRAUDIO_COMPILE_CACHE", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
