@@ -312,8 +312,10 @@ class LlamaAttention(nn.Module):
             # With kv_quant="int8" the cache stores int8 values + per
             # (row, position, head) fp32 scales — halves decode HBM reads
             # and doubles how many slots fit next to the 7B weights.
-            # kv_quant="int4" packs nibble pairs (uint8, D/2) for another
-            # 2x; the chunked kernel unpacks per tile.
+            # kv_quant="int4" packs nibble pairs for another 2x, stored
+            # uint8 (B, max_len, kv_h*D/2) — trailing dims merged so the
+            # lane dim is a 128 multiple (a 4D D/2=64 leaf pads 2x in
+            # HBM); the chunked kernel unpacks per tile.
             quantized = "k_scale" in cache
             packed = quantized and cache["k"].dtype == jnp.uint8
 
@@ -327,6 +329,16 @@ class LlamaAttention(nn.Module):
             if quantized:
                 kq, ks = (quantize_kv4 if packed else quantize_kv)(k)
                 vq, vs = (quantize_kv4 if packed else quantize_kv)(v)
+                if packed:
+                    # int4 leaves store trailing (H, D/2) MERGED to H*D/2
+                    # (init_cache): D/2 = 64 is half a 128-lane TPU tile,
+                    # so the 4D layout padded every packed buffer 2x in
+                    # HBM — the cache occupied (and decode re-read) the
+                    # same bytes as int8.  Merged, the lane dim is H*D/2
+                    # and the cache is tile-clean; readers reshape 2 MB
+                    # chunk slices back to heads at the point of use.
+                    kq = kq.reshape(b, s, -1)
+                    vq = vq.reshape(b, s, -1)
                 new_cache = {
                     "k": write(cache["k"], kq),
                     "v": write(cache["v"], vq),
@@ -368,8 +380,21 @@ class LlamaAttention(nn.Module):
 
         if kv_h != h:
             rep = h // kv_h
-            k_full = jnp.repeat(k_full, rep, axis=2)
-            v_full = jnp.repeat(v_full, rep, axis=2)
+            if packed:
+                # merged int4 leaves: heads live inside the last axis —
+                # un-merge, repeat, re-merge (same full-cache temp the
+                # unpacked repeat below already materializes)
+                half = d // 2
+                kv_len_full = k_full.shape[1]
+                k_full = jnp.repeat(
+                    k_full.reshape(b, kv_len_full, kv_h, half), rep, axis=2
+                ).reshape(b, kv_len_full, h * half)
+                v_full = jnp.repeat(
+                    v_full.reshape(b, kv_len_full, kv_h, half), rep, axis=2
+                ).reshape(b, kv_len_full, h * half)
+            else:
+                k_full = jnp.repeat(k_full, rep, axis=2)
+                v_full = jnp.repeat(v_full, rep, axis=2)
             if quantized:
                 k_scale = jnp.repeat(k_scale, rep, axis=2)
                 v_scale = jnp.repeat(v_scale, rep, axis=2)
@@ -419,11 +444,20 @@ class LlamaAttention(nn.Module):
 
                 def _obs_chunk(i, acc):
                     q_c = jax.lax.dynamic_slice_in_dim(obs_q, i * hc, hc, axis=2)
-                    k_c = jax.lax.dynamic_slice_in_dim(k_full, i * hc, hc, axis=2)
                     if packed:
+                        # merged leaf (B, KV, H*D/2): this head chunk is
+                        # hc*D/2 contiguous lanes
                         from mraudio_tpu.ops.attention import unpack_int4
 
-                        k_c = unpack_int4(k_c)
+                        half = d // 2
+                        k_c = jax.lax.dynamic_slice_in_dim(
+                            k_full, i * (hc * half), hc * half, axis=2
+                        )
+                        k_c = unpack_int4(k_c.reshape(b, kv_len, hc, half))
+                    else:
+                        k_c = jax.lax.dynamic_slice_in_dim(
+                            k_full, i * hc, hc, axis=2
+                        )
                     logits = jnp.einsum(
                         "bwhd,bkhd->bhwk", q_c, k_c.astype(q_c.dtype),
                         preferred_element_type=jnp.float32,
@@ -479,8 +513,13 @@ class LlamaAttention(nn.Module):
                     if packed:
                         from mraudio_tpu.ops.attention import unpack_int4
 
-                        k_full = unpack_int4(k_full)
-                        v_full = unpack_int4(v_full)
+                        kv_l = k_full.shape[1]
+                        k_full = unpack_int4(
+                            k_full.reshape(b, kv_l, h, d // 2)
+                        )
+                        v_full = unpack_int4(
+                            v_full.reshape(b, kv_l, h, d // 2)
+                        )
                     k_full = k_full.astype(dtype) * k_scale[..., None].astype(dtype)
                     v_full = v_full.astype(dtype) * v_scale[..., None].astype(dtype)
             else:
@@ -538,8 +577,9 @@ class LlamaAttention(nn.Module):
                 # path is for debug/`attention_impl="dense"` runs only)
                 from mraudio_tpu.ops.attention import unpack_int4
 
-                k_full = unpack_int4(k_full)
-                v_full = unpack_int4(v_full)
+                kv_l = k_full.shape[1]
+                k_full = unpack_int4(k_full.reshape(b, kv_l, h, d // 2))
+                v_full = unpack_int4(v_full.reshape(b, kv_l, h, d // 2))
             logits = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k_full.astype(q.dtype),
                 preferred_element_type=jnp.float32,
@@ -820,7 +860,14 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int):
     elif cfg.kv_quant == "int4":
         if cfg.head_dim % 2:
             raise ValueError("kv_quant='int4' needs an even head_dim")
-        qshape, qdtype = shape[:-1] + (cfg.head_dim // 2,), jnp.uint8
+        # trailing (H, D/2) dims MERGED: D/2 is typically 64 — half a
+        # 128-lane TPU tile — and a 4D u8[..., H, 64] leaf pads 2x in
+        # HBM ("extra memory due to padding: 2.0x expansion" in the
+        # compiler's B=4 OOM dump), making the int4 cache occupy and
+        # stream the same bytes as int8.  Merged, the lane dim is
+        # H*D/2 (tile-clean); readers reshape chunk slices to heads.
+        qshape = shape[:-2] + (cfg.num_kv_heads * cfg.head_dim // 2,)
+        qdtype = jnp.uint8
     else:
         qshape = qdtype = None
     if cfg.scan_layers:

@@ -73,7 +73,10 @@ def chunked_attention(
     q_bshd: bool = False,
     q_abs: jax.Array | None = None,     # (B, S) absolute kv columns of q
     q_offset: int = 0,                  # static column of query 0 (chunked prefill)
-    kv_packed: bool = False,            # K/V are int4 nibble pairs (uint8, D/2)
+    kv_packed: bool = False,            # K/V are int4 nibble pairs: uint8
+                                        # (B, KV, H*D/2), trailing dims
+                                        # merged lane-aligned (requires
+                                        # kv_bshd)
 ) -> jax.Array:
     """Online-softmax attention in pure XLA: an outer ``lax.map`` over
     query tiles and an inner ``lax.scan`` over kv chunks with running
@@ -121,6 +124,8 @@ def chunked_attention(
     a prefill processed in chunks is bit-identical to the one-shot call
     (same kv tiles, same online-softmax order, masked blocks are exact
     no-ops)."""
+    if kv_packed and not kv_bshd:
+        raise ValueError("kv_packed requires the kv_bshd cache layout")
     if q_bshd:
         b, s, h, d = q.shape
     else:
@@ -146,11 +151,13 @@ def chunked_attention(
         k_blk = jax.lax.dynamic_slice_in_dim(k, kv_start, blk, kv_axis)
         v_blk = jax.lax.dynamic_slice_in_dim(v, kv_start, blk, kv_axis)
         if kv_packed:
-            # int4 cache: unpack this tile's nibble pairs to int8 (the
-            # tile is ~1 MB — the full-cache unpack this avoids is the
-            # point of storing packed).  Scales apply as in int8.
-            k_blk = unpack_int4(k_blk)
-            v_blk = unpack_int4(v_blk)
+            # int4 cache: leaves arrive with trailing (H, D/2) merged to
+            # H*D/2 (lane-aligned storage — models/llama.py init_cache);
+            # reshape this tile back to heads and unpack its nibble
+            # pairs to int8 (the tile is ~1 MB — the full-cache unpack
+            # this avoids is the point).  Scales apply as in int8.
+            k_blk = unpack_int4(k_blk.reshape(b, blk, h, d // 2))
+            v_blk = unpack_int4(v_blk.reshape(b, blk, h, d // 2))
         m_blk = jax.lax.dynamic_slice_in_dim(mask, kv_start, blk, 1)
         kv_spec = "bkhd" if kv_bshd else "bhkd"
         q_spec = "bshd" if q_bshd else "bhsd"

@@ -70,6 +70,17 @@ def test_keep_all_matches_uncompacted_int8_kv(setup):
     np.testing.assert_array_equal(base, kept)
 
 
+def test_keep_all_matches_uncompacted_int4_kv(setup):
+    """int4 cache + compaction: exercises the packed branch of the
+    prefill observation-window scorer (merged-layout head-chunk slices)
+    and compact_cache's gather over 3D packed leaves."""
+    cfg, _, params, x, mask01 = setup
+    base = _gen(cfg, params, x, mask01, kv_quant="int4")
+    kept = _gen(cfg, params, x, mask01, kv_quant="int4",
+                kv_keep=S, kv_keep_obs=8, kv_keep_sink=2)
+    np.testing.assert_array_equal(base, kept)
+
+
 def test_compacted_generate_runs_and_differs_shapes(setup):
     cfg, _, params, x, mask01 = setup
     toks = _gen(cfg, params, x, mask01,

@@ -80,7 +80,11 @@ def test_int4_kv_cache_decode_close_to_float():
 
     cache = init_cache(cfg.replace(kv_quant="int4"), 2, 16)
     assert cache[0]["k"].dtype == jnp.uint8
-    assert cache[0]["k"].shape[-1] == cfg.head_dim // 2
+    # packed leaves store trailing (H, D/2) merged (lane-aligned: a 4D
+    # u8[..., H, D/2] leaf pads 2x on TPU when D/2 < 128)
+    assert cache[0]["k"].shape == (
+        2, 16, cfg.num_kv_heads * cfg.head_dim // 2
+    )
     assert cache[0]["k_scale"].shape == (2, 16, cfg.num_kv_heads)
 
 
@@ -105,7 +109,12 @@ def test_int4_kv_attention_matches_manual_dequant():
         kv_valid=full_mask, causal=True,
     )
     # manual dequant of layer-0 K matches the bf16 K the write saw
-    kq = unpack_int4(cache[0]["k"][:, :s])
+    # (merged leaf: reshape back to heads before unpacking)
+    kq = unpack_int4(
+        cache[0]["k"][:, :s].reshape(
+            b, s, cfg.num_kv_heads, cfg.head_dim // 2
+        )
+    )
     recon = kq.astype(np.float32) * np.asarray(cache[0]["k_scale"][:, :s])[..., None]
     assert np.isfinite(recon).all() and np.abs(recon).max() > 0
 
@@ -131,6 +140,47 @@ def test_int4_kv_attention_matches_manual_dequant():
     assert np.isfinite(f4).all()
     # same direction of logits: int4 vs int8 top-1 mostly agrees
     assert (f4.argmax(-1) == f8.argmax(-1)).mean() > 0.5
+
+
+def test_int4_gqa_repeat_order():
+    """The merged-layout GQA repeat (un-merge -> repeat -> re-merge)
+    must interleave heads exactly like the unpacked-cache repeat:
+    head g of the packed cache expands to query heads [g*rep, (g+1)*rep).
+    A scrambled order here would silently pair every query head with the
+    wrong kv head."""
+    rng = np.random.default_rng(2)
+    b, s, kv_h, d, rep = 2, 6, 2, 16, 2
+    h, half = kv_h * rep, d // 2
+    kq = jnp.asarray(rng.integers(-8, 8, (b, s, kv_h, d), dtype=np.int8))
+    packed = pack_int4(kq)  # (b, s, kv_h, d/2)
+    merged = packed.reshape(b, s, -1)
+    # the llama.py packed-GQA path
+    out = jnp.repeat(
+        merged.reshape(b, s, kv_h, half), rep, axis=2
+    ).reshape(b, s, h * half)
+    want = jnp.repeat(packed, rep, axis=2)  # plain 4D repeat (oracle)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4(out.reshape(b, s, h, half))),
+        np.asarray(unpack_int4(want)),
+    )
+
+
+def test_int4_gqa_decode_close_to_int8():
+    """End-to-end decode on a GQA (kv_h < h) int4 cache: if the merged
+    layout's head bookkeeping were wrong, logits would be noise and the
+    int8 agreement below would collapse to ~1/vocab."""
+    cfg, model, params, x, mask01 = _tiny_llm(num_kv_heads=2)
+    from mraudio_tpu.infer.generate import greedy_generate
+
+    toks8 = greedy_generate(
+        LlamaModel(cfg.replace(kv_quant="int8"), None), params, x, mask01,
+        8, eos_id=2,
+    )
+    toks4 = greedy_generate(
+        LlamaModel(cfg.replace(kv_quant="int4"), None), params, x, mask01,
+        8, eos_id=2,
+    )
+    assert (np.asarray(toks8) == np.asarray(toks4)).mean() > 0.6
 
 
 @pytest.mark.parametrize("scan", [False, True])
