@@ -326,6 +326,24 @@ class LlamaAttention(nn.Module):
                 idx = (0, cache_index) + (0,) * (dst.ndim - 2)
                 return jax.lax.dynamic_update_slice(dst, val.astype(dst.dtype), idx)
 
+            def write_scale(dst, val):
+                # Scale leaves store (B, kv_h, max_len) — columns LAST —
+                # so the f32 lane dim is the long sequence axis instead
+                # of kv_h (32 lanes of a 128 tile = 4x padding in HBM,
+                # ~0.5 GB of dead residency + dead decode reads at full
+                # size).  ``val`` arrives (B, s, kv_h) from the
+                # quantizer.
+                if per_row_index:
+                    rows = jnp.arange(b)[:, None]
+                    # advanced indices (rows, q_cols) around the head
+                    # slice: element [i, j, :] lands at
+                    # dst[rows[i], :, q_cols[i, j]]
+                    return dst.at[rows, :, q_cols].set(val.astype(dst.dtype))
+                return jax.lax.dynamic_update_slice(
+                    dst, val.transpose(0, 2, 1).astype(dst.dtype),
+                    (0, 0, cache_index),
+                )
+
             if quantized:
                 kq, ks = (quantize_kv4 if packed else quantize_kv)(k)
                 vq, vs = (quantize_kv4 if packed else quantize_kv)(v)
@@ -342,8 +360,8 @@ class LlamaAttention(nn.Module):
                 new_cache = {
                     "k": write(cache["k"], kq),
                     "v": write(cache["v"], vq),
-                    "k_scale": write(cache["k_scale"], ks),
-                    "v_scale": write(cache["v_scale"], vs),
+                    "k_scale": write_scale(cache["k_scale"], ks),
+                    "v_scale": write_scale(cache["v_scale"], vs),
                 }
                 # Do NOT dequantize the whole cache here: decode steps
                 # consume the int8 tensors directly (scales folded into
@@ -396,8 +414,9 @@ class LlamaAttention(nn.Module):
                 k_full = jnp.repeat(k_full, rep, axis=2)
                 v_full = jnp.repeat(v_full, rep, axis=2)
             if quantized:
-                k_scale = jnp.repeat(k_scale, rep, axis=2)
-                v_scale = jnp.repeat(v_scale, rep, axis=2)
+                # scales are (B, kv_h, KV): heads on axis 1
+                k_scale = jnp.repeat(k_scale, rep, axis=1)
+                v_scale = jnp.repeat(v_scale, rep, axis=1)
 
         if (
             cfg.kv_keep > 0 and cache is not None and not per_row_index
@@ -463,10 +482,11 @@ class LlamaAttention(nn.Module):
                         preferred_element_type=jnp.float32,
                     ) * (d ** -0.5)
                     if quantized:
+                        # scales (B, H, KV): head chunk on axis 1
                         ks_c = jax.lax.dynamic_slice_in_dim(
-                            k_scale, i * hc, hc, axis=2
+                            k_scale, i * hc, hc, axis=1
                         )
-                        logits = logits * ks_c.transpose(0, 2, 1)[:, :, None, :]
+                        logits = logits * ks_c[:, :, None, :]
                     logits = jnp.where(ok, logits, NEG_INF)
                     probs = jax.nn.softmax(logits, axis=-1)
                     if kv_valid is not None:
@@ -520,8 +540,13 @@ class LlamaAttention(nn.Module):
                         v_full = unpack_int4(
                             v_full.reshape(b, kv_l, h, d // 2)
                         )
-                    k_full = k_full.astype(dtype) * k_scale[..., None].astype(dtype)
-                    v_full = v_full.astype(dtype) * v_scale[..., None].astype(dtype)
+                    # scales (B, H, KV) -> broadcast over (B, KV, H, D)
+                    k_full = k_full.astype(dtype) * (
+                        k_scale.transpose(0, 2, 1)[..., None].astype(dtype)
+                    )
+                    v_full = v_full.astype(dtype) * (
+                        v_scale.transpose(0, 2, 1)[..., None].astype(dtype)
+                    )
             else:
                 fn = chunked_attention
                 # Unroll policy: decode steps (one q tile) always;
@@ -556,6 +581,7 @@ class LlamaAttention(nn.Module):
                     # storage saving.
                     extra["k_scale"] = k_scale
                     extra["v_scale"] = v_scale
+                    extra["scales_bhs"] = True  # cache layout (B, H, KV)
                     extra["kv_packed"] = packed
             if impl == "pallas":
                 out = fn(
@@ -588,11 +614,12 @@ class LlamaAttention(nn.Module):
                 # Fold the per-(row, position, head) K scale into the
                 # logits instead of dequantizing the cache: XLA fuses the
                 # int8->bf16 convert into the dot's operand read.
-                logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, :]
+                # scales (B, H, KV): already in the logits' head-major order
+                logits = logits * k_scale[:, :, None, :]
             logits = jnp.where(mask, logits, NEG_INF)
             probs = jax.nn.softmax(logits, axis=-1)
             if quantized:
-                probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, :]
+                probs = probs * v_scale[:, :, None, :]
             out = jnp.einsum(
                 "bhqk,bkhd->bqhd", probs.astype(dtype), v_full.astype(dtype)
             )
@@ -814,8 +841,15 @@ def _compact_layer(layer: dict, kv_valid, keep: int, sink: int, obs: int,
         pads[1] = (0, extra_cols)
         return jnp.pad(g, pads)
 
-    new = {k: gather(layer[k]) for k in ("k", "v", "k_scale", "v_scale")
-           if k in layer}
+    def gather_scale(x):
+        # scale leaves are (B, H, S): columns on the LAST axis
+        g = jnp.take_along_axis(x[:, :, :prefix_len], idx[:, None, :], axis=2)
+        return jnp.pad(g, [(0, 0), (0, 0), (0, extra_cols)])
+
+    new = {k: gather(layer[k]) for k in ("k", "v") if k in layer}
+    for k in ("k_scale", "v_scale"):
+        if k in layer:
+            new[k] = gather_scale(layer[k])
     new["valid"] = gather(kv_valid.astype(jnp.int32))
     return new
 
@@ -870,10 +904,14 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int):
         qdtype = jnp.uint8
     else:
         qshape = qdtype = None
+    # Scale leaves store (B, kv_h, max_len) — the long axis LAST so the
+    # f32 lane dim is the sequence, not kv_h (32 lanes of a 128 tile =
+    # 4x padding: ~0.5 GB dead residency + reads at full size).
+    sshape = (batch, cfg.num_kv_heads, max_len)
     if cfg.scan_layers:
         if qshape is not None:
             lq = (cfg.num_layers,) + qshape
-            ls = (cfg.num_layers,) + shape[:-1]
+            ls = (cfg.num_layers,) + sshape
             return {
                 "k": jnp.zeros(lq, qdtype),
                 "v": jnp.zeros(lq, qdtype),
@@ -884,7 +922,6 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int):
         lshape = (cfg.num_layers,) + shape
         return {"k": jnp.zeros(lshape, dtype), "v": jnp.zeros(lshape, dtype)}
     if qshape is not None:
-        sshape = shape[:-1]
         return [
             {
                 "k": jnp.zeros(qshape, qdtype),

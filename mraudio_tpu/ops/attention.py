@@ -54,7 +54,8 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "block_k", "block_q", "causal_skip", "unroll_q",
-                     "kv_bshd", "q_bshd", "q_offset", "kv_packed"),
+                     "kv_bshd", "q_bshd", "q_offset", "kv_packed",
+                     "scales_bhs"),
 )
 def chunked_attention(
     q: jax.Array,          # (B, H, S, D); (B, S, H, D) with q_bshd=True
@@ -77,6 +78,9 @@ def chunked_attention(
                                         # (B, KV, H*D/2), trailing dims
                                         # merged lane-aligned (requires
                                         # kv_bshd)
+    scales_bhs: bool = False,           # scales are (B, H, KV) — the KV
+                                        # cache's lane-aligned layout —
+                                        # instead of following k's layout
 ) -> jax.Array:
     """Online-softmax attention in pure XLA: an outer ``lax.map`` over
     query tiles and an inner ``lax.scan`` over kv chunks with running
@@ -104,7 +108,8 @@ def chunked_attention(
     probabilities before the PV matmul.
 
     ``kv_bshd=True`` takes K/V in the KV cache's native (B, KV, H, D)
-    layout (scales as (B, KV, H)): only the 2 MB per-chunk slices get
+    layout (scales as (B, KV, H), or (B, H, KV) with ``scales_bhs`` —
+    the cache's lane-aligned scale storage): only the 2 MB per-chunk slices get
     transposed inside the dot, instead of two full-cache (B, H, KV, D)
     layout copies per layer living across the whole attention.
     ``q_bshd=True`` does the same for q and the output (both stay
@@ -174,9 +179,10 @@ def chunked_attention(
         ) * scale
         if k_scale is not None:
             ks_blk = jax.lax.dynamic_slice_in_dim(
-                k_scale, kv_start, blk, 1 if kv_bshd else 2
+                k_scale, kv_start, blk,
+                2 if scales_bhs else (1 if kv_bshd else 2),
             )
-            if kv_bshd:
+            if kv_bshd and not scales_bhs:
                 ks_blk = ks_blk.transpose(0, 2, 1)
             logits = logits * ks_blk[:, :, None, :]
         kv_pos = kv_start + jnp.arange(blk)[None, None, None, :]
@@ -193,9 +199,10 @@ def chunked_attention(
         l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
         if v_scale is not None:
             vs_blk = jax.lax.dynamic_slice_in_dim(
-                v_scale, kv_start, blk, 1 if kv_bshd else 2
+                v_scale, kv_start, blk,
+                2 if scales_bhs else (1 if kv_bshd else 2),
             )
-            if kv_bshd:
+            if kv_bshd and not scales_bhs:
                 vs_blk = vs_blk.transpose(0, 2, 1)
             p = p * vs_blk[:, :, None, :]
         pv_dtype = q_blk.dtype

@@ -85,7 +85,9 @@ def test_int4_kv_cache_decode_close_to_float():
     assert cache[0]["k"].shape == (
         2, 16, cfg.num_kv_heads * cfg.head_dim // 2
     )
-    assert cache[0]["k_scale"].shape == (2, 16, cfg.num_kv_heads)
+    # scales store (B, H, S) — sequence on the lane axis (H=32 lanes of
+    # a 128 tile would pad 4x)
+    assert cache[0]["k_scale"].shape == (2, cfg.num_kv_heads, 16)
 
 
 def test_int4_kv_attention_matches_manual_dequant():
@@ -115,7 +117,8 @@ def test_int4_kv_attention_matches_manual_dequant():
             b, s, cfg.num_kv_heads, cfg.head_dim // 2
         )
     )
-    recon = kq.astype(np.float32) * np.asarray(cache[0]["k_scale"][:, :s])[..., None]
+    ks = np.asarray(cache[0]["k_scale"][:, :, :s]).transpose(0, 2, 1)
+    recon = kq.astype(np.float32) * ks[..., None]
     assert np.isfinite(recon).all() and np.abs(recon).max() > 0
 
     # a decode step over the packed cache produces finite logits and

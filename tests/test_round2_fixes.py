@@ -200,7 +200,8 @@ def test_int8_kv_cache_decode_close_to_bf16():
 
     cache = init_cache(cfg.replace(kv_quant="int8"), b, 16)
     assert cache[0]["k"].dtype == jnp.int8
-    assert cache[0]["k_scale"].shape == (b, 16, cfg.num_kv_heads)
+    # scales: (B, H, S) — sequence on the lane axis
+    assert cache[0]["k_scale"].shape == (b, cfg.num_kv_heads, 16)
 
 
 def test_int8_kv_cache_in_serving_engine():

@@ -100,7 +100,8 @@ def test_scan_layers_cache_shapes():
     cache = init_cache(cfg, 2, 16)
     assert isinstance(cache, dict)
     assert cache["k"].shape == (3, 2, 16, 4, 8)
-    assert cache["k_scale"].shape == (3, 2, 16, 4)
+    # scales: (L, B, H, S) — sequence on the lane axis
+    assert cache["k_scale"].shape == (3, 2, 4, 16)
 
 
 def test_scan_layers_partition_specs_shift():
