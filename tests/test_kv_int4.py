@@ -216,3 +216,41 @@ def test_int4_generate_in_xinstructblip(scan):
     )
     out = model.generate(params, batch)
     assert len(out) == 2 and all(isinstance(t, str) for t in out)
+
+
+def test_int4_kv_cache_in_serving_engine():
+    """Continuous batcher on a PACKED cache: the slot scatter copies the
+    merged uint8 leaves and the (slots, H, max_len) scale leaves, and the
+    per-row decode write lands each token's nibbles and scales at its own
+    column (models/llama.py write/write_scale under per_row_index)."""
+    from mraudio_tpu.infer.serving import ContinuousBatcher, Request
+
+    cfg = tiny_model_config().llm.replace(dtype="float32", kv_quant="int4")
+    model = LlamaModel(cfg, None)
+    s, d = 6, cfg.hidden_size
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, s, d)) * 0.3
+    mask01 = jnp.ones((1, s), jnp.int32)
+    attend = (
+        jnp.tril(jnp.ones((s, s), bool))[None, None]
+        & mask01[:, None, None, :].astype(bool)
+    )
+    params = {"params": model.init(
+        jax.random.PRNGKey(1), x, attend, positions_from_mask(mask01),
+        jnp.zeros((1, s), jnp.int32), method=LlamaModel.init_all,
+    )["params"]}
+
+    engine = ContinuousBatcher(model, params, prefix_len=s, max_new_tokens=4,
+                               eos_id=2, max_slots=2)
+    # packed slot cache: merged uint8 leaves, lane-aligned scale leaves
+    lay0 = engine.cache[0] if isinstance(engine.cache, list) else engine.cache
+    assert lay0["k"].dtype == jnp.uint8
+    assert lay0["k"].shape[-1] == cfg.num_kv_heads * cfg.head_dim // 2
+    assert lay0["k_scale"].shape[1] == cfg.num_kv_heads
+
+    rng = np.random.default_rng(0)
+    for rid in range(2):
+        emb = rng.standard_normal((s, d)).astype(np.float32) * 0.3
+        assert engine.submit(Request(rid, emb, np.ones(s, np.int32)))
+    done = engine.run_to_completion()
+    assert {c.request_id for c in done} == {0, 1}
+    assert all(1 <= len(c.token_ids) <= 4 for c in done)
