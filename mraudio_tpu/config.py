@@ -487,6 +487,18 @@ class TrainConfig(_ConfigBase):
     # approximation vs. the reference's fp16 encoders; the LLM base is
     # int8 in both (load_in_8bit parity).
     quant_frozen: str = "none"
+    # Opt-in single-chip memory lever: train in windows of N batches —
+    # upload the frozen encoder subtree, run the encode program for the
+    # window's batches, DELETE the device copy, then run the window's
+    # LLM loss/grad steps with only the LLM weights resident.  Exact
+    # (the same split_encode_step programs run on the same inputs in
+    # the same order); costs one encoder re-upload per window.  What
+    # reclaims the ~1.35–2.7 GB of frozen encoders from the full-size
+    # 7B backward's HBM budget (docs/BENCHMARKS.md "Full-size
+    # training").  Requires split_encode_step and fully-frozen
+    # encoders; single-chip (shard over the `model` axis on a mesh
+    # instead).  0 = off.
+    encoder_window: int = 0
 
 
 @dataclass(frozen=True)

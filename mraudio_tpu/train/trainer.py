@@ -85,6 +85,15 @@ class Trainer:
             self._mesh_ctx.__enter__()
             params = shard_params(params, self.mesh)
         self.trainable, self.frozen = split_trainable(params, self.trainable_pattern)
+        n_train = sum(x.size for x in self.trainable.values())
+        n_total = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        logger.info("trainable params: %d / %d", n_train, n_total)
+        # Drop the init tree NOW: the bf16 cast below re-creates every
+        # frozen float leaf, and holding both trees put init's peak at
+        # 15.7 GiB of 16 (measured, scripts/probe_init_memory.py) —
+        # quantize_frozen and the encoder_window host offload then OOM
+        # on their own transients.
+        del params
         if frozen_bf16:
             # Frozen base weights are read every step; bf16 halves the HBM
             # traffic and the matmuls consume bf16 regardless (the LoRA
@@ -98,6 +107,9 @@ class Trainer:
             self.frozen = traverse_util.flatten_dict(
                 cast_params_for_inference(frozen_tree)
             )
+            # the local would otherwise pin every pre-cast float leaf
+            # (≈3 GB at full size) until __init__ returns
+            del frozen_tree
         if tc.quant_frozen == "int8":
             from mraudio_tpu.models.quant_tree import (
                 quantize_frozen, quantized_bytes_saved,
@@ -110,9 +122,33 @@ class Trainer:
             )
         elif tc.quant_frozen not in ("none", ""):
             raise ValueError(f"unknown quant_frozen={tc.quant_frozen!r}")
-        n_train = sum(x.size for x in self.trainable.values())
-        n_total = sum(x.size for x in jax.tree_util.tree_leaves(params))
-        logger.info("trainable params: %d / %d", n_train, n_total)
+        self._windowed = tc.encoder_window > 0
+        if self._windowed:
+            # Windowed encoder residency (train.encoder_window): the
+            # frozen encoder subtree lives on HOST between windows; each
+            # window device_puts it, encodes its batches, then deletes
+            # the device copy so the LLM backward runs without the
+            # encoders' 1.35-2.7 GB resident (docs/BENCHMARKS.md).
+            if cfg.mesh.num_devices > 1:
+                raise ValueError(
+                    "train.encoder_window is a single-chip memory lever; "
+                    "on a mesh shard the LLM over the `model` axis instead"
+                )
+            split = self._split_frozen_encoders()
+            if split is None:
+                raise ValueError(
+                    "train.encoder_window requires split_encode_step=True "
+                    "and fully-frozen encoder subtrees"
+                )
+            frozen_enc, _ = split
+            self.frozen = dict(self.frozen)
+            for k in list(frozen_enc):
+                # copy out + free leaf-by-leaf so the device never holds
+                # both the full encoder subtree and its host copies
+                leaf = frozen_enc.pop(k)
+                self.frozen[k] = np.asarray(leaf)
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
 
         if train_dataset is None:
             train_dataset = MRDataset(
@@ -253,6 +289,13 @@ class Trainer:
 
             step_jit = jax.jit(step_fn, donate_argnums=(0, 2))
 
+            if self._windowed:
+                # train.encoder_window: the caller orchestrates windows —
+                # device_put(frozen_enc) → encode the window → delete →
+                # step the window (only frozen_rest resident).
+                return ("windowed", encode_fn, step_jit, frozen_enc,
+                        frozen_rest)
+
             def run(trainable, frozen, opt_state, arrays, crop, rng):
                 modal = encode_fn(frozen_enc, *arrays[:4], crop)
                 return step_jit(trainable, frozen_rest, opt_state, modal,
@@ -315,7 +358,15 @@ class Trainer:
         # Validation/generate run on the plain tree; with quant_frozen
         # the bf16 encoder copies materialize here — fine between steps,
         # when no backward activations are resident.
-        return merge_params(self.trainable, dequantize_frozen(self.frozen))
+        frozen = self.frozen
+        if self._windowed:
+            # encoder leaves live on host between windows — upload once
+            # here rather than once per jitted generate call
+            frozen = {
+                k: jax.device_put(v) if isinstance(v, np.ndarray) else v
+                for k, v in frozen.items()
+            }
+        return merge_params(self.trainable, dequantize_frozen(frozen))
 
     # ------------------------------------------------------------------
 
@@ -354,60 +405,116 @@ class Trainer:
             epoch, len(self.train_loader),
         )
 
-        for batch in self.train_loader:
-            # jit cache keyed on n_frms: mixed-length curricula or
-            # train/val n_frms mismatches each get their own compile
-            # instead of silently reusing the first batch's step.
-            n_frms = int(batch.timestamps.shape[1])
-            step_fn = self._step_fns.get(n_frms)
-            if step_fn is None:
-                step_fn = self._step_fns[n_frms] = self._build_step(n_frms)
-            arrays = self._arrays_for_loss(batch)
-            loss, self.trainable, self.opt_state = step_fn(
-                self.trainable, self.frozen, self.opt_state, arrays,
-                self._sample_crops(batch),
-                jax.random.fold_in(self._drop_key, self.global_step),
-            )
-            self.global_step += 1
-            lr = float(self.schedule(self.global_step - 1))
-            loss = float(loss)
-            if not np.isfinite(loss):
-                self._nan_skips += 1
-                tc = self.cfg.train
-                if tc.nan_guard:
-                    # the jitted step zeroed this micro-batch's grads and
-                    # suppressed its update (train.nan_guard); surface it.
-                    logger.warning(
-                        "non-finite loss at step %d (%d consecutive); "
-                        "gradients zeroed, update skipped",
-                        self.global_step, self._nan_skips,
-                    )
-                else:
-                    logger.warning(
-                        "non-finite loss at step %d (%d consecutive); "
-                        "train.nan_guard=False — the NaN update WAS applied",
-                        self.global_step, self._nan_skips,
-                    )
-                self.runlog.log("nan_skip", step=self.global_step,
-                                epoch=epoch, consecutive=self._nan_skips,
-                                guarded=tc.nan_guard)
-                if tc.nan_guard and self._nan_skips >= tc.max_nan_skips:
-                    raise RuntimeError(
-                        f"{self._nan_skips} consecutive non-finite losses "
-                        f"(train.max_nan_skips={tc.max_nan_skips}); aborting "
-                        "instead of writing NaN checkpoints"
-                    )
-            else:
-                self._nan_skips = 0
-            metric_logger.update(loss=loss, lr=lr)
-            self.runlog.log("train_step", step=self.global_step, epoch=epoch,
-                            loss=loss, lr=lr)
+        if self._windowed:
+            self._train_epoch_windowed(epoch, metric_logger)
+        else:
+            for batch in self.train_loader:
+                # jit cache keyed on n_frms: mixed-length curricula or
+                # train/val n_frms mismatches each get their own compile
+                # instead of silently reusing the first batch's step.
+                n_frms = int(batch.timestamps.shape[1])
+                step_fn = self._step_fns.get(n_frms)
+                if step_fn is None:
+                    step_fn = self._step_fns[n_frms] = self._build_step(n_frms)
+                arrays = self._arrays_for_loss(batch)
+                loss, self.trainable, self.opt_state = step_fn(
+                    self.trainable, self.frozen, self.opt_state, arrays,
+                    self._sample_crops(batch),
+                    jax.random.fold_in(self._drop_key, self.global_step),
+                )
+                self.global_step += 1
+                self._post_step(float(loss), epoch, metric_logger)
 
         metric_logger.synchronize_between_processes()
         logger.info("Averaged stats: %s", metric_logger.global_avg())
         return {
             k: f"{meter.global_avg:.3f}" for k, meter in metric_logger.meters.items()
         }
+
+    def _post_step(self, loss: float, epoch: int, metric_logger) -> None:
+        """Per-step bookkeeping (LR, NaN guard accounting, run log) —
+        called with ``self.global_step`` already advanced."""
+        lr = float(self.schedule(self.global_step - 1))
+        if not np.isfinite(loss):
+            self._nan_skips += 1
+            tc = self.cfg.train
+            if tc.nan_guard:
+                # the jitted step zeroed this micro-batch's grads and
+                # suppressed its update (train.nan_guard); surface it.
+                logger.warning(
+                    "non-finite loss at step %d (%d consecutive); "
+                    "gradients zeroed, update skipped",
+                    self.global_step, self._nan_skips,
+                )
+            else:
+                logger.warning(
+                    "non-finite loss at step %d (%d consecutive); "
+                    "train.nan_guard=False — the NaN update WAS applied",
+                    self.global_step, self._nan_skips,
+                )
+            self.runlog.log("nan_skip", step=self.global_step,
+                            epoch=epoch, consecutive=self._nan_skips,
+                            guarded=tc.nan_guard)
+            if tc.nan_guard and self._nan_skips >= tc.max_nan_skips:
+                raise RuntimeError(
+                    f"{self._nan_skips} consecutive non-finite losses "
+                    f"(train.max_nan_skips={tc.max_nan_skips}); aborting "
+                    "instead of writing NaN checkpoints"
+                )
+        else:
+            self._nan_skips = 0
+        metric_logger.update(loss=loss, lr=lr)
+        self.runlog.log("train_step", step=self.global_step, epoch=epoch,
+                        loss=loss, lr=lr)
+
+    def _train_epoch_windowed(self, epoch: int, metric_logger) -> None:
+        """train.encoder_window: process the loader in windows of W
+        batches — device_put the host-resident frozen encoders, encode
+        the window (program A), DELETE the device copy, then run the
+        window's LLM loss/grad steps (program B) with only the LLM
+        weights resident.  Bit-identical to the per-batch split path:
+        the same two jitted programs consume the same inputs in the
+        same order (per-batch crops and dropout rngs are assigned at
+        enqueue time from the step ordinal each batch will run at)."""
+        W = self.cfg.train.encoder_window
+        pending = []  # (fns, arrays, crop, rng)
+
+        def flush():
+            if not pending:
+                return
+            _, encode_fn, step_jit, frozen_enc, frozen_rest = pending[0][0]
+            dev_enc = {k: jax.device_put(v) for k, v in frozen_enc.items()}
+            modals = [
+                encode_fn(dev_enc, *arrays[:4], crop)
+                for _, arrays, crop, _ in pending
+            ]
+            # the encode dispatches must have retired before their
+            # weight arguments are deleted out from under them
+            jax.block_until_ready(modals)
+            for leaf in dev_enc.values():
+                leaf.delete()
+            for (_, arrays, _, rng), modal in zip(pending, modals):
+                loss, self.trainable, self.opt_state = step_jit(
+                    self.trainable, frozen_rest, self.opt_state, modal,
+                    arrays[4:], rng,
+                )
+                self.global_step += 1
+                self._post_step(float(loss), epoch, metric_logger)
+            pending.clear()
+
+        for batch in self.train_loader:
+            n_frms = int(batch.timestamps.shape[1])
+            fns = self._step_fns.get(n_frms)
+            if fns is None:
+                fns = self._step_fns[n_frms] = self._build_step(n_frms)
+            if pending and (len(pending) >= W or pending[0][0] is not fns):
+                flush()
+            rng = jax.random.fold_in(
+                self._drop_key, self.global_step + len(pending)
+            )
+            pending.append((fns, self._arrays_for_loss(batch),
+                            self._sample_crops(batch), rng))
+        flush()
 
     def eval_epoch(self) -> dict:
         params = self.params

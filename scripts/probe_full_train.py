@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--no-split", action="store_true")
     ap.add_argument("--mlp-seq-chunk", type=int, default=0)
     ap.add_argument("--attention-unroll-train", action="store_true")
+    ap.add_argument("--encoder-window", type=int, default=0)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--steps", type=int, default=2)
     args = ap.parse_args()
@@ -66,6 +67,7 @@ def main():
             accum_grad_iters=1, output_dir="/tmp/probe_full_train_out",
             val_freq=5, save_freq=5, quant_frozen=args.quant_frozen,
             split_encode_step=not args.no_split, num_workers=1,
+            encoder_window=args.encoder_window,
         ),
     )
     cfg = cfg.replace(data=cfg.data.replace(
