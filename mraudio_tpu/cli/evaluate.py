@@ -72,6 +72,8 @@ def main(argv=None):
     parser.add_argument("--n-frms", type=int, default=0)
     parser.add_argument("--profile-dir", default="",
                         help="capture an xprof/TensorBoard device trace here")
+    parser.add_argument("--no-batch-fallback", action="store_true",
+                        help="fail instead of halving the batch on device OOM")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -88,6 +90,7 @@ def main(argv=None):
         cfg, model=model, params=params,
         output_file=args.output_file, batch_size=args.batch_size,
         num_workers=args.num_workers, profile_dir=args.profile_dir or None,
+        batch_fallback=not args.no_batch_fallback,
     )
     print(f"wrote {len(result['records'])} predictions to {args.output_file} "
           f"({result['clips_per_sec']:.3f} clips/sec)")

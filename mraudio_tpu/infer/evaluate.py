@@ -49,8 +49,15 @@ def run_inference(
     batch_size: int = 2,
     num_workers: int = 2,
     profile_dir: str | None = None,
+    batch_fallback: bool = True,
 ) -> dict:
-    """Returns {'records': [...], 'clips_per_sec': float}."""
+    """Returns {'records': [...], 'clips_per_sec': float, 'batch_size': int}.
+
+    ``batch_fallback``: on a device ``RESOURCE_EXHAUSTED`` the driver
+    halves the batch size and restarts (static shapes mean an OOM can
+    only strike the first execution of a program, so nothing meaningful
+    is lost) — the dominant failure mode of near-capacity 16 GB
+    configs becomes a logged slowdown instead of a dead run."""
     if model is None:
         from mraudio_tpu.models.factory import build_model
 
@@ -90,9 +97,6 @@ def run_inference(
         validate_time_budgets(model.llm_tokenizer, model.cfg, max_dur)
 
     dataset = MRDataset(cfg.data, annotations=annotations, split="eval")
-    loader = BatchLoader(
-        dataset, batch_size, shuffle=False, num_threads=max(num_workers, 1)
-    )
 
     import contextlib
 
@@ -101,13 +105,9 @@ def run_inference(
     # --profile-dir: capture an xprof/TensorBoard device trace of the
     # whole inference loop (stage names from StageTimes annotate it).
     trace_ctx = profile_to(profile_dir) if profile_dir else contextlib.nullcontext()
-    times = StageTimes()
-    records = []
-    n_clips = 0
     want_saliency = cfg.model.saliency_head and hasattr(model, "saliency_scores")
 
-    def emit(batch, outputs, saliency):
-        nonlocal n_clips
+    def emit(batch, outputs, saliency, records, counter):
         for row, (qid, query, vid, raw_out, dur, valid) in enumerate(zip(
             batch.qid, batch.query, batch.vid, outputs, batch.duration,
             batch.valid,
@@ -140,7 +140,7 @@ def run_inference(
                     batch.timestamps[row], saliency[row], dur
                 )
             records.append(record)
-            n_clips += 1
+            counter[0] += 1
 
     # Two-deep pipeline: batch i+1's host->device transfer AND batch
     # i+1's dispatch are both issued before batch i's tokens are read
@@ -167,29 +167,54 @@ def run_inference(
                                       return_saliency=True)
             return model.generate(params, b, device_inputs=d), None
 
-    start = time.time()
+    def attempt(bs):
+        """One full pass at batch size ``bs``; returns
+        (records, n_clips, elapsed, times)."""
+        loader = BatchLoader(
+            dataset, bs, shuffle=False, num_threads=max(num_workers, 1)
+        )
+        times = StageTimes()
+        records: list[dict] = []
+        counter = [0]
+        start = time.time()
+        it = iter(loader)
+        current = next(it, None)
+        dev = model.device_inputs(current) if current is not None else None
+        inflight = None  # (batch, pending-dispatch)
+        while current is not None or inflight is not None:
+            if current is not None:
+                batch, batch_dev = current, dev
+                current = next(it, None)
+                dev = model.device_inputs(current) if current is not None else None
+                submitted = (batch, submit(batch, batch_dev))
+            else:
+                submitted = None
+            if inflight is not None:
+                pbatch, pending = inflight
+                with times.stage("generate", items=int(pbatch.valid.sum())):
+                    outputs, saliency = finalize(pending)
+                with times.stage("parse_write"):
+                    emit(pbatch, outputs, saliency, records, counter)
+            inflight = submitted
+        return records, counter[0], time.time() - start, times
+
     trace_ctx.__enter__()
-    it = iter(loader)
-    current = next(it, None)
-    dev = model.device_inputs(current) if current is not None else None
-    inflight = None  # (batch, pending-dispatch)
-    while current is not None or inflight is not None:
-        if current is not None:
-            batch, batch_dev = current, dev
-            current = next(it, None)
-            dev = model.device_inputs(current) if current is not None else None
-            submitted = (batch, submit(batch, batch_dev))
-        else:
-            submitted = None
-        if inflight is not None:
-            pbatch, pending = inflight
-            with times.stage("generate", items=int(pbatch.valid.sum())):
-                outputs, saliency = finalize(pending)
-            with times.stage("parse_write"):
-                emit(pbatch, outputs, saliency)
-        inflight = submitted
+    bs = batch_size
+    while True:
+        try:
+            records, n_clips, elapsed, times = attempt(bs)
+            break
+        except Exception as e:
+            if not (batch_fallback and bs > 1 and _is_oom(e)):
+                trace_ctx.__exit__(None, None, None)
+                raise
+            bs = max(bs // 2, 1)
+            logger.warning(
+                "device RESOURCE_EXHAUSTED at batch_size=%d; retrying the "
+                "run at batch_size=%d (static shapes: the failed program "
+                "never produced results, nothing is lost)", bs * 2, bs,
+            )
     trace_ctx.__exit__(None, None, None)
-    elapsed = time.time() - start
     clips_per_sec = n_clips / elapsed if elapsed > 0 else 0.0
     logger.info(
         "inference: %d clips in %.2fs (%.3f clips/sec); stages: %s",
@@ -204,4 +229,12 @@ def run_inference(
         with open(output_file, "w") as f:
             for record in records:
                 f.write(json.dumps(record) + "\n")
-    return {"records": records, "clips_per_sec": clips_per_sec}
+    return {"records": records, "clips_per_sec": clips_per_sec,
+            "batch_size": bs}
+
+
+def _is_oom(e: Exception) -> bool:
+    """True for a device out-of-memory error.  XLA surfaces these as
+    ``jax.errors.JaxRuntimeError`` (an ``XlaRuntimeError`` alias) whose
+    message leads with the gRPC status name."""
+    return "RESOURCE_EXHAUSTED" in str(e)
