@@ -57,6 +57,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="mraudio_tpu batched inference")
     parser.add_argument("--model", default="X-InstructBLIP")
     parser.add_argument("--model-path", default="", help="converted LLM weights dir")
+    parser.add_argument("--checkpoint", default="",
+                        help="trained orbax checkpoint dir (checkpoint_best/"
+                             "checkpoint_N from finetune) to overlay — the "
+                             "reference's finetuned --model-path semantics "
+                             "(evaluate.py:22, xinstructblip.py:769-816)")
     parser.add_argument("--audio-encoder", default="", help="converted BEATs weights")
     parser.add_argument("--video-folder", default="")
     parser.add_argument("--annotation-file", required=True)
@@ -86,6 +91,15 @@ def main(argv=None):
     # --model dispatch, like the reference's evaluate.py:27-31
     model = build_model(cfg)
     params = load_pretrained_params(model, cfg)
+    if args.checkpoint:
+        from mraudio_tpu.train.checkpoint import apply_trainable, load_checkpoint
+
+        payload = load_checkpoint(args.checkpoint)
+        params = apply_trainable(params, payload["model"])
+        logging.getLogger("mraudio_tpu").info(
+            "loaded trained checkpoint %s (epoch %s, %d trained leaves)",
+            args.checkpoint, payload.get("epoch"), len(payload["model"]),
+        )
     result = run_inference(
         cfg, model=model, params=params,
         output_file=args.output_file, batch_size=args.batch_size,

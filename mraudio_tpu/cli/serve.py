@@ -124,6 +124,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="mraudio_tpu serving driver")
     parser.add_argument("--model", default="X-InstructBLIP")
     parser.add_argument("--model-path", default="")
+    parser.add_argument("--checkpoint", default="",
+                        help="trained orbax checkpoint dir to overlay")
     parser.add_argument("--audio-encoder", default="")
     parser.add_argument("--video-folder", default="")
     parser.add_argument("--annotation-file", required=True)
@@ -168,7 +170,12 @@ def main(argv=None):
             model=cfg.model.replace(llm=cfg.model.llm.replace(kv_keep=args.kv_keep))
         )
     model = build_model(cfg)
-    params = cast_params_for_inference(load_pretrained_params(model, cfg))
+    params = load_pretrained_params(model, cfg)
+    if args.checkpoint:
+        from mraudio_tpu.train.checkpoint import apply_trainable, load_checkpoint
+
+        params = apply_trainable(params, load_checkpoint(args.checkpoint)["model"])
+    params = cast_params_for_inference(params)
 
     dataset = MRDataset(
         cfg.data, annotation_path=cfg.data.annotation_file, split="eval"
