@@ -45,6 +45,14 @@ def main(argv=None):
         help="'adamw' = the reference's intended optimizer; "
              "'adam' reproduces its live (buggy) plain-Adam override",
     )
+    parser.add_argument(
+        "--single-chip", action="store_true",
+        help="apply the measured one-16GB-chip full-size memory stack: "
+             "quant_frozen=int8 + scan_layers + mlp_seq_chunk=512 + "
+             "attention_unroll_train + encoder_window=2 (probed working "
+             "at B=1/B=2; docs/BENCHMARKS.md 'Full-size training'). On a "
+             "multi-chip mesh, shard over the model axis instead.",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -94,6 +102,20 @@ def main(argv=None):
         llm_weights=args.model_path,
         beats_weights=args.audio_encoder,
     )
+    if args.single_chip:
+        cfg = cfg.replace(
+            model=cfg.model.replace(
+                vit=cfg.model.vit.replace(grad_checkpoint=True),
+                llm=cfg.model.llm.replace(
+                    grad_checkpoint=True, scan_layers=True,
+                    mlp_seq_chunk=512, attention_unroll_train=True,
+                ),
+            ),
+            train=cfg.train.replace(
+                quant_frozen="int8", split_encode_step=True,
+                encoder_window=max(cfg.train.encoder_window, 2),
+            ),
+        )
 
     from mraudio_tpu.models.convert_weights import load_pretrained_params
     from mraudio_tpu.models.factory import build_model
