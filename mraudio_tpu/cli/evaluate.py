@@ -79,18 +79,21 @@ def main(argv=None):
                         help="capture an xprof/TensorBoard device trace here")
     parser.add_argument("--no-batch-fallback", action="store_true",
                         help="fail instead of halving the batch on device OOM")
+    parser.add_argument("--params-store", default="",
+                        help="prebuilt param store from mraudio_tpu.cli.convert "
+                             "(skips init + torch conversion at launch)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
     cfg = build_config(args)
 
+    from mraudio_tpu.cli.convert import resolve_params
     from mraudio_tpu.infer.evaluate import run_inference
-    from mraudio_tpu.models.convert_weights import load_pretrained_params
     from mraudio_tpu.models.factory import build_model
 
     # --model dispatch, like the reference's evaluate.py:27-31
     model = build_model(cfg)
-    params = load_pretrained_params(model, cfg)
+    params = resolve_params(model, cfg, args.params_store)
     if args.checkpoint:
         from mraudio_tpu.train.checkpoint import apply_trainable, load_checkpoint
 

@@ -45,6 +45,8 @@ def main(argv=None):
         help="'adamw' = the reference's intended optimizer; "
              "'adam' reproduces its live (buggy) plain-Adam override",
     )
+    parser.add_argument("--params-store", default="",
+                        help="prebuilt param store from mraudio_tpu.cli.convert")
     parser.add_argument(
         "--single-chip", action="store_true",
         help="apply the measured one-16GB-chip full-size memory stack: "
@@ -117,13 +119,13 @@ def main(argv=None):
             ),
         )
 
-    from mraudio_tpu.models.convert_weights import load_pretrained_params
+    from mraudio_tpu.cli.convert import resolve_params
     from mraudio_tpu.models.factory import build_model
     from mraudio_tpu.train.trainer import Trainer
 
     # --model dispatch, like the reference's utils/trainer.py:50-56
     model = build_model(cfg)
-    params = load_pretrained_params(model, cfg)
+    params = resolve_params(model, cfg, args.params_store)
     trainer = Trainer(cfg, model=model, params=params, optimizer=args.optimizer)
     del params  # the trainer holds the (bf16-cast) copies; free the originals
     summary = trainer.train()

@@ -126,6 +126,8 @@ def main(argv=None):
     parser.add_argument("--model-path", default="")
     parser.add_argument("--checkpoint", default="",
                         help="trained orbax checkpoint dir to overlay")
+    parser.add_argument("--params-store", default="",
+                        help="prebuilt param store from mraudio_tpu.cli.convert")
     parser.add_argument("--audio-encoder", default="")
     parser.add_argument("--video-folder", default="")
     parser.add_argument("--annotation-file", required=True)
@@ -157,10 +159,10 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO)
 
+    from mraudio_tpu.cli.convert import resolve_params
     from mraudio_tpu.cli.evaluate import build_config
     from mraudio_tpu.data.dataset import MRDataset
     from mraudio_tpu.models.casting import cast_params_for_inference
-    from mraudio_tpu.models.convert_weights import load_pretrained_params
     from mraudio_tpu.models.factory import build_model
 
     args.num_chunks, args.chunk_idx, args.dataset = 1, 0, "QVH"
@@ -170,7 +172,7 @@ def main(argv=None):
             model=cfg.model.replace(llm=cfg.model.llm.replace(kv_keep=args.kv_keep))
         )
     model = build_model(cfg)
-    params = load_pretrained_params(model, cfg)
+    params = resolve_params(model, cfg, args.params_store)
     if args.checkpoint:
         from mraudio_tpu.train.checkpoint import apply_trainable, load_checkpoint
 

@@ -39,6 +39,21 @@ REFERENCE_ROOT = "/root/reference"
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after every test module.
+
+    The full suite runs ~600 XLA:CPU compiles in one process; letting
+    every jitted executable live for the whole session accumulates LLVM
+    JIT code mappings until the process segfaults inside
+    ``backend_compile_and_load`` at ~80% of the suite (observed twice,
+    at two different tests — a cumulative limit, not a test bug).
+    Modules rarely share compiled graphs, so the re-compile cost is
+    noise next to the crash."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def reference():
     """Import reference (upstream) modules as a golden oracle.
