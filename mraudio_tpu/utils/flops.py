@@ -107,7 +107,11 @@ def pipeline_flops(model_cfg, audio_cfg, n_frms: int, batch: int,
         kv_len=prefill_len / 2,  # causal: average context length
         kv_width=kv_w, n_mlp_mats=3,
     )
-    f_prefill += batch * 2 * prefill_len * llm.hidden_size * llm.vocab_size
+    # generate computes lm_head at the LAST position only
+    # (infer/generate.py h=hidden[:, -1:]) — counting the full-sequence
+    # (B, S, V) projection here would overstate executed FLOPs (and MFU)
+    # by ~1.2% at QVH shapes
+    f_prefill += batch * 2 * llm.hidden_size * llm.vocab_size
 
     # --- LLM decode: one token per step, full KV context -----------------
     avg_ctx = prefill_len + decode_tokens / 2
@@ -161,7 +165,8 @@ def videollama_flops(cfg, audio_cfg, n_frms: int, batch: int,
         prefill_len, llm.hidden_size, llm.num_layers, llm.intermediate_size,
         kv_len=prefill_len / 2, kv_width=kv_w, n_mlp_mats=3,
     )
-    f_prefill += batch * 2 * prefill_len * llm.hidden_size * llm.vocab_size
+    # last-position-only lm_head at prefill (see pipeline_flops)
+    f_prefill += batch * 2 * llm.hidden_size * llm.vocab_size
     avg_ctx = prefill_len + decode_tokens / 2
     f_decode = batch * decode_tokens * (
         transformer_flops(1, llm.hidden_size, llm.num_layers,
