@@ -54,13 +54,17 @@ def _cfg(tmp_path, out_name, **train_kw):
     )
 
 
-def test_encoder_window_matches_per_batch_split(tmp_path):
+@pytest.mark.parametrize("accum", [1, 2])
+def test_encoder_window_matches_per_batch_split(tmp_path, accum):
     """One epoch with encoder_window=2 produces bitwise-identical
-    trainable params and losses to the per-batch split path."""
+    trainable params and losses to the per-batch split path — including
+    under gradient accumulation (the reference's accum=2), where the
+    optimizer only applies every second micro-step."""
     losses = {}
 
     def run(window):
-        cfg = _cfg(tmp_path, f"out_w{window}", encoder_window=window)
+        cfg = _cfg(tmp_path, f"out_w{window}_a{accum}",
+                   encoder_window=window, accum_grad_iters=accum)
         trainer = Trainer(cfg)
         trainer.train_epoch(0)
         # collect the run log's per-step losses
