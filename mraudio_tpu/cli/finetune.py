@@ -50,10 +50,12 @@ def main(argv=None):
     parser.add_argument(
         "--single-chip", action="store_true",
         help="apply the measured one-16GB-chip full-size memory stack: "
-             "quant_frozen=int8 + scan_layers + mlp_seq_chunk=512 + "
-             "attention_unroll_train + encoder_window=2 (probed working "
-             "at B=1/B=2; docs/BENCHMARKS.md 'Full-size training'). On a "
-             "multi-chip mesh, shard over the model axis instead.",
+             "quant_frozen=int8 + scan_layers + attention_unroll_train + "
+             "encoder_window=2 (probed working at B=1/B=2; "
+             "docs/BENCHMARKS.md 'Full-size training' — mlp_seq_chunk is "
+             "NOT needed once the encoders are host-evicted, and dropping "
+             "it is 24%% faster per step). On a multi-chip mesh, shard "
+             "over the model axis instead.",
     )
     args = parser.parse_args(argv)
 
@@ -110,7 +112,7 @@ def main(argv=None):
                 vit=cfg.model.vit.replace(grad_checkpoint=True),
                 llm=cfg.model.llm.replace(
                     grad_checkpoint=True, scan_layers=True,
-                    mlp_seq_chunk=512, attention_unroll_train=True,
+                    attention_unroll_train=True,
                 ),
             ),
             train=cfg.train.replace(
