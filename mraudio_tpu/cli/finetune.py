@@ -127,9 +127,13 @@ def main(argv=None):
 
     # --model dispatch, like the reference's utils/trainer.py:50-56
     model = build_model(cfg)
-    params = resolve_params(model, cfg, args.params_store)
-    trainer = Trainer(cfg, model=model, params=params, optimizer=args.optimizer)
-    del params  # the trainer holds the (bf16-cast) copies; free the originals
+    # params_fn (not params=): the trainer must be the sole owner of the
+    # init tree so its internal `del` actually frees the pre-cast
+    # originals during the windowed encoder offload (full-size HBM)
+    trainer = Trainer(
+        cfg, model=model, optimizer=args.optimizer,
+        params_fn=lambda: resolve_params(model, cfg, args.params_store),
+    )
     summary = trainer.train()
     print(f"best epoch {summary['best_epoch']}: MR-full-R1-avg {summary['best_metric']}")
 

@@ -57,7 +57,16 @@ class Trainer:
         val_dataset: Optional[MRDataset] = None,
         optimizer: str = "adamw",
         frozen_bf16: bool = True,
+        params_fn=None,
     ):
+        """``params_fn``: zero-arg callable producing the param tree.
+        Prefer it over ``params`` for full-size trees — the caller's
+        ``params`` local pins the pre-cast original of every frozen
+        float leaf (~3 GB at full size) until __init__ returns, which
+        is exactly the window where the bf16 cast / quantization /
+        encoder offload need that HBM (measured,
+        scripts/probe_init_memory.py); a thunk's result is owned by
+        this frame and freed by the ``del`` below."""
         self.cfg = cfg
         tc = cfg.train
         if model is None:
@@ -65,6 +74,8 @@ class Trainer:
 
             model = build_model(cfg)
         self.model = model
+        if params is None and params_fn is not None:
+            params = params_fn()
         # Per-model trainable partition (XInstructBLIP: LoRA [+saliency];
         # VideoLLaMA: LoRA + connector/audio projector).
         self.trainable_pattern = getattr(
