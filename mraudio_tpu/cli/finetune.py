@@ -51,7 +51,7 @@ def main(argv=None):
         "--single-chip", action="store_true",
         help="apply the measured one-16GB-chip full-size memory stack: "
              "quant_frozen=int8 + scan_layers + attention_unroll_train + "
-             "encoder_window=2 (probed working at B=1/B=2; "
+             "encoder_window=6 (probed working at B=1/B=2; "
              "docs/BENCHMARKS.md 'Full-size training' — mlp_seq_chunk is "
              "NOT needed once the encoders are host-evicted, and dropping "
              "it is 24%% faster per step). On a multi-chip mesh, shard "
