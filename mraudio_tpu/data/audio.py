@@ -48,7 +48,13 @@ class NativeAudioSource(AudioSource):
     def load(self, path: str, num_samples: int, sample_rate: int) -> np.ndarray:
         from mraudio_tpu.data import native_bindings
 
-        wave = native_bindings.decode_audio(self._lib, path, sample_rate)
+        # Cap the decode at the samples actually consumed (the C loop
+        # stops once `out` is full) — the model's audio window is ~60 s,
+        # so a 150 s track costs 60 s of AAC decode, not 150.
+        wave = native_bindings.decode_audio(
+            self._lib, path, sample_rate,
+            max_seconds=num_samples / sample_rate + 1.0,
+        )
         if len(wave) >= num_samples:
             return wave[:num_samples]
         return np.pad(wave, (0, num_samples - len(wave)))

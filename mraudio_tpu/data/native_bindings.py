@@ -75,6 +75,12 @@ def load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.c_longlong, ctypes.c_int,
         ]
+        lib.mr_write_media.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int,
+        ]
         _LIB = lib
         return lib
 
@@ -157,6 +163,27 @@ def write_test_video(lib, path: str, frames: np.ndarray, fps: float) -> None:
     )
     if rc != 0:
         raise IOError(f"write_test_video failed: {_err(lib)}")
+
+
+def write_media(
+    lib, path: str, frames: np.ndarray, fps: float,
+    samples: np.ndarray, sample_rate: int, gop: int = 60,
+) -> None:
+    """Write an mp4 with muxed H.264 video + AAC audio — media shaped
+    like the real QVH/Charades files (the test writers emit video-only
+    mp4 / separate wav)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    samples = np.ascontiguousarray(samples, dtype=np.float32)
+    n, h, w, _ = frames.shape
+    rc = lib.mr_write_media(
+        path.encode(),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n, h, w, fps,
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(samples), sample_rate, gop,
+    )
+    if rc != 0:
+        raise IOError(f"write_media failed: {_err(lib)}")
 
 
 def write_test_audio(lib, path: str, samples: np.ndarray, sample_rate: int) -> None:

@@ -83,6 +83,17 @@ struct VideoReader {
     return r.den ? static_cast<double>(r.num) / r.den : 0.0;
   }
 
+  // Rate for pts -> frame-number math.  avg_frame_rate is
+  // nb_frames/duration where mp4 duration excludes the last frame's
+  // display time, so it overshoots by ~1/duration — integrated over a
+  // long video that drifts a full frame.  r_frame_rate comes from pts
+  // deltas and is exact for constant-frame-rate streams.
+  double index_rate() {
+    AVRational r = stream()->r_frame_rate;
+    if (r.num == 0 || r.den == 0) r = stream()->avg_frame_rate;
+    return r.den ? static_cast<double>(r.num) / r.den : 0.0;
+  }
+
   int64_t num_frames() {
     int64_t n = stream()->nb_frames;
     if (n > 0) return n;
@@ -145,23 +156,45 @@ static int decode_frames_impl(const char* path, const long long* indices,
   int64_t next_decode_frame = 0;  // absolute frame number of next decoded output
   size_t ti = 0;
   bool failed = false;
+  // Gap-seek state: |seek_backstep| tracks how far behind the requested
+  // frame the demuxer's keyframe seek lands (~ the GOP length of this
+  // file).  Between targets, decoding every intermediate frame costs
+  // gap*decode; seeking costs ~backstep*decode — so once the gap exceeds
+  // the observed backstep (plus slack for the seek itself) a seek wins.
+  // This is what makes sparse uniform sampling (60 frames out of
+  // thousands) cost O(n_frms * GOP) instead of O(video length).
+  int64_t seek_backstep = 0;
+  bool seek_pending = false;
+  int64_t seek_target = -1;
+
+  const double idx_rate = r.index_rate() > 0 ? r.index_rate() : fps;
+
+  auto seek_to = [&](int64_t abs_target) {
+    double t = abs_target / idx_rate;
+    int64_t ts = static_cast<int64_t>(t / av_q2d(st->time_base));
+    if (av_seek_frame(r.fmt, r.stream_index, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
+      avcodec_flush_buffers(r.codec);
+      next_decode_frame = -1;  // unknown until first pts
+      seek_pending = true;
+      seek_target = abs_target;
+      return true;
+    }
+    return false;
+  };
 
   // Seek near the first target if it is far into the file.
   {
     int64_t first_abs = base_frame + targets[0].first;
-    if (first_abs > 0 && fps > 0) {
-      double t = first_abs / fps;
-      int64_t ts = static_cast<int64_t>(t / av_q2d(st->time_base));
-      if (av_seek_frame(r.fmt, r.stream_index, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
-        avcodec_flush_buffers(r.codec);
-        next_decode_frame = -1;  // unknown until first pts
-      }
-    }
+    if (first_abs > 0 && fps > 0) seek_to(first_abs);
   }
 
+  // Deliver the target frame: normally the exact index; after a seek
+  // that lands past it (pts rounding), the first frame at-or-after.
   auto deliver = [&](AVFrame* f, int64_t abs_frame) {
     while (ti < targets.size() &&
-           base_frame + targets[ti].first == abs_frame) {
+           base_frame + targets[ti].first <= abs_frame) {
+      if (base_frame + targets[ti].first < abs_frame && !seek_pending)
+        break;  // sequential decode cannot have skipped a frame
       if (!sws) {
         // i420: YUV->YUV plane scaling only — the codec's limited-range
         // values pass through untouched (the wire convention is
@@ -187,7 +220,19 @@ static int decode_frames_impl(const char* path, const long long* indices,
     }
   };
 
-  while (ti < targets.size() && av_read_frame(r.fmt, pkt) >= 0) {
+  while (ti < targets.size()) {
+    // Gap-seek: the next target is far ahead of the decode position —
+    // jump to its preceding keyframe instead of decoding through.
+    if (next_decode_frame >= 0 && fps > 0) {
+      int64_t gap = base_frame + targets[ti].first - next_decode_frame;
+      // Unknown GOP: try a seek once the gap exceeds ~1s of frames; the
+      // observed backstep then calibrates the real break-even point.
+      int64_t threshold =
+          seek_backstep > 0 ? 2 * seek_backstep + 16
+                            : std::max<int64_t>(static_cast<int64_t>(fps), 16);
+      if (gap > threshold) seek_to(base_frame + targets[ti].first);
+    }
+    if (av_read_frame(r.fmt, pkt) < 0) break;
     if (pkt->stream_index != r.stream_index) {
       av_packet_unref(pkt);
       continue;
@@ -202,21 +247,37 @@ static int decode_frames_impl(const char* path, const long long* indices,
       if (next_decode_frame < 0) {
         // derive frame number from pts after a seek
         double t = frame->best_effort_timestamp * av_q2d(st->time_base);
-        abs_frame = static_cast<int64_t>(t * fps + 0.5);
+        abs_frame = static_cast<int64_t>(t * idx_rate + 0.5);
+        if (seek_pending && abs_frame <= seek_target)
+          seek_backstep = std::max(seek_backstep, seek_target - abs_frame);
       } else {
         abs_frame = next_decode_frame;
       }
       next_decode_frame = abs_frame + 1;
       if (abs_frame >= limit_frame) break;
       deliver(frame, abs_frame);
+      if (seek_pending && abs_frame >= seek_target) seek_pending = false;
     }
   }
-  // flush decoder
+  // flush decoder (frame-threaded decode holds frames back by a packet,
+  // so a seek near EOF can surface its frames only here — derive the
+  // index from pts exactly as the main loop does)
   avcodec_send_packet(r.codec, nullptr);
   while (ti < targets.size() && avcodec_receive_frame(r.codec, frame) >= 0) {
-    int64_t abs_frame = next_decode_frame < 0 ? 0 : next_decode_frame;
+    int64_t abs_frame;
+    if (next_decode_frame < 0) {
+      if (frame->best_effort_timestamp == AV_NOPTS_VALUE) {
+        abs_frame = 0;
+      } else {
+        double t = frame->best_effort_timestamp * av_q2d(st->time_base);
+        abs_frame = static_cast<int64_t>(t * idx_rate + 0.5);
+      }
+    } else {
+      abs_frame = next_decode_frame;
+    }
     next_decode_frame = abs_frame + 1;
     deliver(frame, abs_frame);
+    if (seek_pending && abs_frame >= seek_target) seek_pending = false;
   }
 
   // pad unreached targets (e.g. index == vlen due to rounding) with the
@@ -593,6 +654,176 @@ int mr_write_test_audio(const char* path, const float* samples, long long n,
   av_packet_free(&pkt);
   avcodec_free_context(&codec);
   avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return 0;
+}
+
+// Write an mp4 with BOTH a video stream (H.264 via libx264, ultrafast;
+// falls back to MPEG-4 Part 2 if x264 is unavailable) and an AAC audio
+// track — i.e. a file shaped like the real QVHighlights/Charades videos
+// whose decode cost the benchmark must include (the reference decodes
+// such files through decord + ffmpeg audio demux,
+// processors/alpro_processors.py:14-38, LAVIS BeatsAudioProcessor).
+// |gop| sets the keyframe interval (seek granularity for the gather).
+int mr_write_media(const char* path, const unsigned char* rgb, int n, int h,
+                   int w, double fps, const float* samples, long long n_samples,
+                   int sample_rate, int gop) {
+  AVFormatContext* fmt = nullptr;
+  avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
+  if (!fmt) {
+    set_error("cannot alloc output context");
+    return -1;
+  }
+
+  // --- video stream ---
+  const AVCodec* venc = avcodec_find_encoder(AV_CODEC_ID_H264);
+  AVCodecContext* vcodec = nullptr;
+  if (venc) {
+    vcodec = avcodec_alloc_context3(venc);
+    vcodec->width = w;
+    vcodec->height = h;
+    vcodec->pix_fmt = AV_PIX_FMT_YUV420P;
+    vcodec->time_base = av_inv_q(av_d2q(fps, 100000));
+    vcodec->gop_size = gop > 0 ? gop : 60;
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+      vcodec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    AVDictionary* opts = nullptr;
+    av_dict_set(&opts, "preset", "ultrafast", 0);
+    av_dict_set(&opts, "crf", "26", 0);
+    if (avcodec_open2(vcodec, venc, &opts) < 0) {
+      avcodec_free_context(&vcodec);
+      vcodec = nullptr;
+    }
+    av_dict_free(&opts);
+  }
+  if (!vcodec) {  // fall back to mpeg4
+    venc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+    if (!venc) {
+      set_error("no h264/mpeg4 encoder");
+      return -1;
+    }
+    vcodec = avcodec_alloc_context3(venc);
+    vcodec->width = w;
+    vcodec->height = h;
+    vcodec->pix_fmt = AV_PIX_FMT_YUV420P;
+    vcodec->time_base = av_inv_q(av_d2q(fps, 100000));
+    vcodec->gop_size = gop > 0 ? gop : 60;
+    vcodec->bit_rate = 2000000;
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+      vcodec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(vcodec, venc, nullptr) < 0) {
+      set_error("cannot open video encoder");
+      return -1;
+    }
+  }
+  AVStream* vst = avformat_new_stream(fmt, nullptr);
+  avcodec_parameters_from_context(vst->codecpar, vcodec);
+  vst->time_base = vcodec->time_base;
+
+  // --- audio stream (AAC) ---
+  const AVCodec* aenc = avcodec_find_encoder(AV_CODEC_ID_AAC);
+  AVCodecContext* acodec = nullptr;
+  AVStream* ast = nullptr;
+  if (aenc && n_samples > 0) {
+    acodec = avcodec_alloc_context3(aenc);
+    acodec->sample_rate = sample_rate;
+    AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+    av_channel_layout_copy(&acodec->ch_layout, &mono);
+    acodec->sample_fmt = AV_SAMPLE_FMT_FLTP;
+    acodec->time_base = {1, sample_rate};
+    acodec->bit_rate = 64000;
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+      acodec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(acodec, aenc, nullptr) < 0) {
+      set_error("cannot open aac encoder");
+      return -1;
+    }
+    ast = avformat_new_stream(fmt, nullptr);
+    avcodec_parameters_from_context(ast->codecpar, acodec);
+    ast->time_base = acodec->time_base;
+  }
+
+  if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    set_error("cannot open output file");
+    return -1;
+  }
+  if (avformat_write_header(fmt, nullptr) < 0) {
+    set_error("cannot write header");
+    return -1;
+  }
+
+  SwsContext* sws =
+      sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
+                     SWS_BILINEAR, nullptr, nullptr, nullptr);
+  AVFrame* vframe = av_frame_alloc();
+  vframe->format = AV_PIX_FMT_YUV420P;
+  vframe->width = w;
+  vframe->height = h;
+  av_frame_get_buffer(vframe, 0);
+  AVFrame* aframe = av_frame_alloc();
+  AVPacket* pkt = av_packet_alloc();
+
+  auto write_packets = [&](AVCodecContext* c, AVStream* s) {
+    while (avcodec_receive_packet(c, pkt) >= 0) {
+      av_packet_rescale_ts(pkt, c->time_base, s->time_base);
+      pkt->stream_index = s->index;
+      av_interleaved_write_frame(fmt, pkt);
+      av_packet_unref(pkt);
+    }
+  };
+
+  const int achunk = acodec ? (acodec->frame_size > 0 ? acodec->frame_size : 1024) : 0;
+  int vi = 0;
+  long long aoff = 0;
+  while (vi < n || (acodec && aoff < n_samples)) {
+    double vt = vi < n ? vi / fps : 1e30;
+    double at = (acodec && aoff < n_samples)
+                    ? static_cast<double>(aoff) / sample_rate
+                    : 1e30;
+    if (vt <= at) {
+      const uint8_t* src[1] = {rgb + static_cast<size_t>(vi) * h * w * 3};
+      int stride[1] = {w * 3};
+      av_frame_make_writable(vframe);
+      sws_scale(sws, src, stride, 0, h, vframe->data, vframe->linesize);
+      vframe->pts = vi;
+      avcodec_send_frame(vcodec, vframe);
+      write_packets(vcodec, vst);
+      ++vi;
+    } else {
+      int cnt = static_cast<int>(
+          std::min<long long>(achunk, n_samples - aoff));
+      aframe->nb_samples = cnt;
+      aframe->format = AV_SAMPLE_FMT_FLTP;
+      av_channel_layout_copy(&aframe->ch_layout, &acodec->ch_layout);
+      av_frame_get_buffer(aframe, 0);
+      float* dst = reinterpret_cast<float*>(aframe->data[0]);
+      for (int i = 0; i < cnt; ++i) {
+        float v = samples[aoff + i];
+        dst[i] = std::max(-1.0f, std::min(1.0f, v));
+      }
+      aframe->pts = aoff;
+      avcodec_send_frame(acodec, aframe);
+      write_packets(acodec, ast);
+      av_frame_unref(aframe);
+      aoff += cnt;
+    }
+  }
+  avcodec_send_frame(vcodec, nullptr);
+  write_packets(vcodec, vst);
+  if (acodec) {
+    avcodec_send_frame(acodec, nullptr);
+    write_packets(acodec, ast);
+  }
+
+  av_write_trailer(fmt);
+  sws_freeContext(sws);
+  av_frame_free(&vframe);
+  av_frame_free(&aframe);
+  av_packet_free(&pkt);
+  avcodec_free_context(&vcodec);
+  if (acodec) avcodec_free_context(&acodec);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
   avformat_free_context(fmt);
   return 0;
 }
