@@ -265,11 +265,177 @@ def run(profile: str, steps: int | None = None, batch_size: int | None = None):
         model, data_cfg, batch_size, clips_per_sec,
         jax.devices()[0].device_kind,
     )
+    result["_model"] = model
+    result["_params"] = params
+    result["_data_cfg"] = data_cfg
     return result
+
+
+MEDIA_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_media")
+
+
+def run_media_pass(model, params, data_cfg, batch_size: int) -> dict:
+    """Media-included measurement: the SAME model/params/compiled graph,
+    but clips read from real H.264+AAC mp4 files on disk through the
+    native decoder with thread prefetch — i.e. the full
+    preprocess+encode+decode pipeline of the BASELINE metric, driven by
+    the production eval driver (`infer/evaluate.py`), not a synthetic
+    batcher.  The fabricated corpus (data/media.py) is cached under
+    ``.bench_media`` across runs."""
+    import time as _time
+
+    from mraudio_tpu.config import RunConfig
+    from mraudio_tpu.data.dataset import MRDataset
+    from mraudio_tpu.data.media import fabricate_media_set
+    from mraudio_tpu.infer.evaluate import run_inference
+
+    fab_t0 = _time.time()
+    ann = fabricate_media_set(
+        MEDIA_ROOT, n_videos=8, duration=150.0, fps=24.0,
+        queries_per_video=3, gop=60, seed=11,
+    )
+    fabricate_s = _time.time() - fab_t0
+    media_data = data_cfg.replace(
+        video_source="native", video_folder=MEDIA_ROOT, annotation_file=ann,
+    )
+    # Host decode budget: one full sample fetch (video gather + audio
+    # demux + resample), measured serially outside the overlap.
+    ds = MRDataset(media_data, annotation_path=ann)
+    t0 = _time.time()
+    for i in (0, 1, 2):
+        ds.get(i, strict=True)
+    decode_s_per_clip = (_time.time() - t0) / 3
+    cfg = RunConfig(model=model.cfg, data=media_data)
+    res = run_inference(
+        cfg, model=model, params=params,
+        output_file=None, batch_size=batch_size, num_workers=2,
+    )
+    return {
+        "media_clips_per_sec": round(res["clips_per_sec"], 4),
+        "decode_s_per_clip": round(decode_s_per_clip, 3),
+        "media_clips": len(res["records"]),
+        "media_batch_size": res["batch_size"],
+        "media_fabricate_s": round(fabricate_s, 1),
+    }
 
 
 CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_cpu_cache.json")
+TRAIN_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".bench_train_cache.json")
+
+
+def run_train(profile: str = "train", steps: int | None = None,
+              batch_size: int | None = None) -> dict:
+    """Training-throughput profile: sec/step, train clips/s, analytic
+    train MFU for the full-size --single-chip stack (profile "train")
+    or the tiny config (profile "train-tiny").
+
+    Measured as two epochs over synthetic QVH-shaped batches: epoch 0
+    pays the compile, epoch 1 is the steady-state measurement (the
+    windowed encoder path makes per-step gaps uneven, so whole-epoch
+    wall time / steps is the honest rate).  Results are cached in
+    ``.bench_train_cache.json`` so the routine benchmark run (which
+    must stay ~10 min) embeds them without re-measuring; refresh with
+    ``MRAUDIO_BENCH_PROFILE=train python bench.py``."""
+    import json as _json
+    import time as _time
+
+    import jax
+
+    from mraudio_tpu.config import (
+        DataConfig, RunConfig, TrainConfig, full_model_config,
+        tiny_data_config, tiny_model_config,
+    )
+    from mraudio_tpu.data.dataset import MRDataset
+    from mraudio_tpu.train.trainer import Trainer
+    from mraudio_tpu.utils.flops import (
+        peak_flops_for, prefill_length, train_step_flops,
+    )
+
+    tiny = profile.endswith("tiny")
+    if tiny:
+        batch = batch_size or 2
+        steps = steps or 4
+        model_cfg = tiny_model_config()
+        data_cfg = tiny_data_config(n_frms=4)
+        tc = TrainConfig(max_epoch=2, batch_size=batch, warmup_steps=2,
+                         accum_grad_iters=2, output_dir="/tmp/bench_train_out",
+                         val_freq=10, save_freq=0, num_workers=1)
+    else:
+        # the measured one-16GB-chip production recipe
+        # (cli/finetune.py --single-chip; docs/BENCHMARKS.md)
+        batch = batch_size or 2
+        steps = steps or 4
+        model_cfg = full_model_config()
+        model_cfg = model_cfg.replace(
+            vit=model_cfg.vit.replace(grad_checkpoint=True),
+            llm=model_cfg.llm.replace(
+                grad_checkpoint=True, scan_layers=True,
+                attention_unroll_train=True,
+            ),
+        )
+        data_cfg = DataConfig.for_dataset("QVH", video_source="synthetic")
+        tc = TrainConfig(max_epoch=2, batch_size=batch, warmup_steps=2,
+                         accum_grad_iters=2, output_dir="/tmp/bench_train_out",
+                         val_freq=10, save_freq=0, num_workers=1,
+                         quant_frozen="int8", split_encode_step=True,
+                         encoder_window=6)
+    anns = [
+        {"vid": f"t{i}", "qid": i, "query": "a person trains the benchmark",
+         "duration": 150, "relevant_windows": [[10, 30]]}
+        for i in range(batch * steps)
+    ]
+    cfg = RunConfig(model=model_cfg, data=data_cfg, train=tc)
+    train_ds = MRDataset(data_cfg, annotations=anns, split="train")
+    val_ds = MRDataset(data_cfg, annotations=anns[:batch], split="eval")
+    trainer = Trainer(cfg, train_dataset=train_ds, val_dataset=val_ds)
+
+    t0 = _time.time()
+    trainer.train_epoch(0)   # compile + first pass
+    compile_epoch_s = _time.time() - t0
+    t0 = _time.time()
+    trainer.train_epoch(1)   # steady state
+    steady_s = _time.time() - t0
+
+    sec_per_step = steady_s / steps
+    clips_per_sec = batch / sec_per_step
+    seq = prefill_length(model_cfg, data_cfg.n_frms) + model_cfg.max_output_txt_len
+    f = train_step_flops(
+        model_cfg, data_cfg.audio, data_cfg.n_frms, batch, seq,
+        grad_checkpoint=model_cfg.llm.grad_checkpoint,
+    )
+    peak = peak_flops_for(jax.devices()[0].device_kind)
+    result = {
+        "profile": profile,
+        "sec_per_step": round(sec_per_step, 2),
+        "train_clips_per_sec": round(clips_per_sec, 4),
+        "train_mfu": round(f["total"] / sec_per_step / peak, 4),
+        "train_flops_per_step_T": round(f["total"] / 1e12, 1),
+        "batch_size": batch,
+        "steps": steps,
+        "n_frms": data_cfg.n_frms,
+        "seq_len": seq,
+        "compile_epoch_s": round(compile_epoch_s, 1),
+        "device": jax.devices()[0].device_kind,
+    }
+    cache = {}
+    if os.path.exists(TRAIN_CACHE_PATH):
+        with open(TRAIN_CACHE_PATH) as fp:
+            cache = _json.load(fp)
+    cache[profile] = result
+    with open(TRAIN_CACHE_PATH, "w") as fp:
+        _json.dump(cache, fp, indent=1)
+    return result
+
+
+def cached_train_results() -> dict | None:
+    if os.path.exists(TRAIN_CACHE_PATH):
+        with open(TRAIN_CACHE_PATH) as fp:
+            cache = json.load(fp)
+        return {k: {**v, "cached": True} for k, v in cache.items()}
+    return None
 
 
 def cpu_baseline(profile: str) -> float:
@@ -343,8 +509,18 @@ def main():
     if os.environ.get("MRAUDIO_BENCH_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
 
-    device_kind = jax.devices()[0].device_kind
+    if profile.startswith("train"):
+        # training-throughput profile: its own JSON line + cache refresh
+        result = run_train(profile, steps=steps, batch_size=batch_size)
+        print(json.dumps({
+            "metric": "train_sec_per_step", "value": result["sec_per_step"],
+            "unit": "s/step", **result,
+        }))
+        return
+    if os.environ.get("MRAUDIO_BENCH_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
 
+    device_kind = jax.devices()[0].device_kind
     # Runtime ResourceExhausted at the default batch is possible through
     # the tunnel (allocator state varies run to run near the 16 GB line);
     # fall back down a batch ladder rather than failing the benchmark —
@@ -384,6 +560,24 @@ def main():
     }
     if batch_fallback:
         payload["batch_fallback"] = True
+    # Media-included pass (BASELINE metric = preprocess+encode+DECODE):
+    # default-on for the headline profile; MRAUDIO_BENCH_MEDIA=0 skips.
+    if (profile in ("full", "charades")
+            and os.environ.get("MRAUDIO_BENCH_MEDIA", "1") == "1"
+            and not os.environ.get("MRAUDIO_BENCH_FORCE_CPU")):
+        try:
+            payload.update(run_media_pass(
+                result["_model"], result["_params"], result["_data_cfg"],
+                result["batch_size"],
+            ))
+        except Exception as e:  # never fail the headline on the media leg
+            payload["media_error"] = f"{type(e).__name__}: {e}"[:200]
+    # Training throughput (VERDICT r2 #6): embedded from the offline-
+    # refreshed cache so the routine run stays inside its time budget;
+    # refresh with MRAUDIO_BENCH_PROFILE=train / train-tiny.
+    train_cached = cached_train_results()
+    if train_cached:
+        payload["train"] = train_cached
     if not os.environ.get("MRAUDIO_BENCH_FORCE_CPU"):
         baseline = cpu_baseline(profile)
         payload["cpu_clips_per_sec"] = round(baseline, 6)

@@ -96,7 +96,7 @@ def fabricate_media_set(
     params = dict(
         n_videos=n_videos, duration=duration, fps=fps, height=height,
         width=width, queries_per_video=queries_per_video,
-        sample_rate=sample_rate, gop=gop, seed=seed, version=2,
+        sample_rate=sample_rate, gop=gop, seed=seed, version=3,
     )
     ann_path = os.path.join(root, "annotations.jsonl")
     manifest_path = os.path.join(root, MANIFEST)
@@ -125,7 +125,8 @@ def fabricate_media_set(
                 "vid": vid,
                 "qid": qid,
                 "query": f"a person {_VERBS[qid % len(_VERBS)]}",
-                "duration": duration,
+                # integer seconds, as QVH renders durations
+                "duration": int(duration),
                 "relevant_windows": [[st, min(ed, int(duration))]],
             })
             qid += 1
