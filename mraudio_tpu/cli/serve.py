@@ -58,7 +58,8 @@ def encode_requests(model, params, dataset, limit=None):
 
 
 def serve(model, params, requests, max_slots: int, max_new_tokens: int,
-          max_prefill_batch: int = 0, steps_per_dispatch: int = 1):
+          max_prefill_batch: int = 0, steps_per_dispatch: int = 1,
+          spec_width: int = 1):
     """Run the stream through the engine; returns (records, stats)."""
     from mraudio_tpu.infer.serving import ContinuousBatcher
     from mraudio_tpu.text.postprocess import moment_str_to_list, post_process
@@ -69,6 +70,7 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         max_new_tokens, model.llm_tokenizer.eos_token_id, max_slots=max_slots,
         max_prefill_batch=max_prefill_batch,
         steps_per_dispatch=steps_per_dispatch,
+        spec_width=spec_width,
     )
 
     pending = list(requests)
@@ -109,6 +111,7 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         "max_prefill_batch": engine.max_prefill_batch,
         "kv_keep": engine.kv_keep,
         "steps_per_dispatch": engine.steps_per_dispatch,
+        "spec_width": engine.spec_width,
         "elapsed_s": round(elapsed, 2),
         "requests_per_sec": round(len(records) / elapsed, 4),
         "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
@@ -153,6 +156,12 @@ def main(argv=None):
                         "amortizes the host round-trip per token (token-"
                         "identical up to EOS; finished rows hold their "
                         "slot until the window ends)")
+    parser.add_argument("--spec-width", type=int, default=1,
+                        help="self-speculative decode width: each engine "
+                        "dispatch verifies W-1 bigram-lookup draft tokens "
+                        "per slot in one pass and commits the agreed "
+                        "prefix (token-identical; accepted guesses remove "
+                        "whole dispatches from the HBM-bound decode)")
     parser.add_argument("--sweep-slots", default="",
                         help="comma-separated slot counts to benchmark, e.g. 1,2,4,8")
     args = parser.parse_args(argv)
@@ -190,14 +199,16 @@ def main(argv=None):
             _, stats = serve(model, params, requests, slots,
                              model.cfg.max_new_tokens,
                              max_prefill_batch=args.max_prefill_batch,
-                             steps_per_dispatch=args.steps_per_dispatch)
+                             steps_per_dispatch=args.steps_per_dispatch,
+                             spec_width=args.spec_width)
             print(json.dumps(stats))
         return
 
     records, stats = serve(model, params, requests, args.slots,
                            model.cfg.max_new_tokens,
                            max_prefill_batch=args.max_prefill_batch,
-                           steps_per_dispatch=args.steps_per_dispatch)
+                           steps_per_dispatch=args.steps_per_dispatch,
+                           spec_width=args.spec_width)
     if args.output_file:
         with open(args.output_file, "w") as f:
             for r in records:

@@ -299,6 +299,15 @@ class XInstructBLIPConfig(_ConfigBase):
     constrained_decoding: bool = False
     # Draft width for the speculative step (1 = plain constrained greedy).
     spec_width: int = 4
+    # Self-speculative decoding for the UNCONSTRAINED path: draft
+    # lookup_spec-1 tokens per step by n-gram lookup over the tokens
+    # already generated, verify them against the model's own argmax in
+    # ONE multi-position pass (infer/generate.py::lookup_generate).
+    # Bit-identical tokens to plain greedy (every committed token is the
+    # model's argmax at its position); decode is HBM-bound, so each
+    # accepted draft token removes one full weight+KV streaming pass.
+    # 0/1 = off (plain greedy).
+    lookup_spec: int = 0
     # Optional per-frame saliency head over video Q-Former tokens: enables
     # QVHighlights highlight detection (pred_saliency_scores -> HL-Hit1 /
     # HL-mAP).  Capability beyond the reference, whose models never emit
@@ -471,6 +480,12 @@ class TrainConfig(_ConfigBase):
     # CONSECUTIVE bad steps instead of silently emitting NaN checkpoints.
     nan_guard: bool = True
     max_nan_skips: int = 10
+    # Preemption safety: install a SIGTERM handler that checkpoints the
+    # trainable subtree + optimizer state + exact step position
+    # (checkpoint_preempt) and exits cleanly; resuming from it continues
+    # mid-epoch bitwise.  TPU pods preempt — the reference's resume is a
+    # hand-edited path (utils/trainer.py:29).
+    preempt_save: bool = True
     # Run the frozen encoders as their own jit program ahead of the LLM
     # loss/grad program (valid whenever nothing trainable feeds them).
     # Two smaller programs compile/schedule better, but note each

@@ -57,6 +57,7 @@ class ContinuousBatcher:
         max_slots: int = 4,
         max_prefill_batch: int = 0,
         steps_per_dispatch: int = 1,
+        spec_width: int = 1,
     ):
         self.model = model
         self.params = params
@@ -86,8 +87,20 @@ class ContinuousBatcher:
         self.kv_keep = (
             min(model.cfg.kv_keep, prefix_len) if model.cfg.kv_keep else 0
         )
+        # Self-speculative decode (the engine twin of
+        # infer/generate.py::lookup_generate): each dispatch scores W
+        # draft positions per slot — the current token plus W-1 host-side
+        # bigram-lookup guesses from that slot's own emitted tokens — and
+        # commits the verified prefix.  Decode is HBM-bound, so the
+        # W-wide pass costs ~one 1-wide step; every accepted guess
+        # removes a whole dispatch.  Token-identical to spec_width=1.
+        self.spec_width = max(1, spec_width)
         self.slot_prefix = self.kv_keep or prefix_len
-        self.max_len = self.slot_prefix + max_new_tokens
+        # +W slack columns: a draft may overhang the budget; overhanging
+        # writes are never marked valid and get overwritten.
+        self.max_len = self.slot_prefix + max_new_tokens + (
+            self.spec_width - 1 if self.spec_width > 1 else 0
+        )
 
         self.cache = init_cache(model.cfg, max_slots, self.max_len)
         if self.kv_keep:
@@ -112,6 +125,7 @@ class ContinuousBatcher:
         self._prefill = jax.jit(self._prefill_fn)
         self._decode = jax.jit(self._decode_fn, donate_argnums=(1,))
         self._decode_window = jax.jit(self._decode_window_fn, donate_argnums=(1,))
+        self._decode_spec = jax.jit(self._decode_spec_fn, donate_argnums=(1,))
         self._write_slots = jax.jit(self._write_slots_fn, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
@@ -194,6 +208,37 @@ class ContinuousBatcher:
         )
         return carry + (toks,)
 
+    def _decode_spec_fn(self, params, cache, draft_ids, positions, valid,
+                        lengths, active):
+        """One W-position verify pass over every slot's draft.
+
+        Row b's draft occupies cache columns [lengths[b], lengths[b]+W)
+        (per-row ragged, exactly the multi-position machinery of
+        ``lookup_generate``).  Returns the model's argmax after each
+        draft position; the HOST decides the accepted prefix and updates
+        valid/lengths/positions — unaccepted draft columns stay invalid
+        and are overwritten by the next dispatch's writes."""
+        W = self.spec_width
+        jpos = jnp.arange(W)[None, :]
+        kcols = jnp.arange(self.max_len)[None, :]
+        start = jnp.minimum(lengths, self.max_len - W)
+        cols = start[:, None] + jpos                               # (B, W)
+        draft_window = (kcols >= start[:, None]) & (kcols < (start + W)[:, None])
+        attend_valid = (valid > 0) | (draft_window & active[:, None])
+        mask4 = attend_valid[:, None, None, :] & (
+            kcols[:, None, None, :] <= cols[:, None, :, None]
+        )
+        embeds = self.model.apply(
+            params, method=lambda m, ids: m.embed(ids), ids=draft_ids
+        )
+        pos_w = (positions + 1)[:, None] + jpos
+        logits, cache = self.model.apply(
+            params, embeds, mask4, pos_w, cache=cache,
+            cache_index=start, kv_valid=attend_valid.astype(jnp.int32),
+            causal=True,
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache  # (B, W)
+
     def _decode_fn(self, params, cache, cur_ids, positions, valid, write_cols):
         embeds = self.model.apply(
             params, method=lambda m, ids: m.embed(ids), ids=cur_ids[:, None]
@@ -270,6 +315,8 @@ class ContinuousBatcher:
         tokens per call when configured)."""
         if not self.active.any():
             return []
+        if self.spec_width > 1:
+            return self._step_spec()
         if self.steps_per_dispatch > 1:
             return self._step_window()
 
@@ -302,6 +349,72 @@ class ContinuousBatcher:
                 self.cur_ids[i] = int(nxt[i])
                 self.positions[i] += 1
                 self.lengths[i] += 1
+        return completions
+
+    def _draft_for_slot(self, i: int) -> list[int]:
+        """(W,) draft: the pending token plus W-1 bigram-lookup guesses
+        from this slot's emitted history (fallback: repeat — harmless,
+        drafts are verified)."""
+        W = self.spec_width
+        cur = int(self.cur_ids[i])
+        hist = self.emitted[i]
+        guesses = []
+        for j in range(len(hist) - 1, -1, -1):
+            if hist[j] == cur:
+                guesses = hist[j + 1 : j + W]
+                break
+        draft = [cur] + list(guesses)
+        draft += [cur] * (W - len(draft))
+        return draft
+
+    def _step_spec(self) -> list[Completion]:
+        W = self.spec_width
+        drafts = np.zeros((self.max_slots, W), np.int32)
+        for i in np.where(self.active)[0]:
+            drafts[i] = self._draft_for_slot(i)
+
+        model_next, self.cache = self._decode_spec(
+            self.params,
+            self.cache,
+            jnp.asarray(drafts),
+            jnp.asarray(self.positions),
+            jnp.asarray(self.valid),
+            jnp.asarray(self.lengths),
+            jnp.asarray(self.active),
+        )
+        model_next = np.asarray(model_next)          # (max_slots, W)
+
+        completions = []
+        for i in np.where(self.active)[0]:
+            budget = self.max_new_tokens - len(self.emitted[i])
+            accept = 1
+            while (
+                accept < W
+                and accept < budget
+                and drafts[i, accept] == model_next[i, accept - 1]
+                and drafts[i, accept - 1] != self.eos_id
+            ):
+                accept += 1
+            finished = False
+            start = int(self.lengths[i])
+            for k in range(accept):
+                token = int(drafts[i, k])
+                self.emitted[i].append(token)
+                self.valid[i, min(start + k, self.max_len - 1)] = 1
+                if token == self.eos_id or len(self.emitted[i]) >= self.max_new_tokens:
+                    accept = k + 1
+                    completions.append(
+                        Completion(self.slot_request[i], self.emitted[i])
+                    )
+                    self.active[i] = False
+                    self.slot_request[i] = None
+                    self.valid[i] = 0
+                    finished = True
+                    break
+            if not finished:
+                self.cur_ids[i] = int(model_next[i, accept - 1])
+                self.positions[i] += accept
+                self.lengths[i] += accept
         return completions
 
     def _step_window(self) -> list[Completion]:

@@ -50,7 +50,11 @@ from mraudio_tpu.ops.image import (
 )
 from mraudio_tpu.text.prompts import MODALITY_CUES
 from mraudio_tpu.text.tokenizer import ByteTokenizer
-from mraudio_tpu.infer.generate import grammar_generate, greedy_generate
+from mraudio_tpu.infer.generate import (
+    grammar_generate,
+    greedy_generate,
+    lookup_generate,
+)
 
 
 class _Ln(nn.Module):
@@ -585,6 +589,12 @@ class XInstructBLIP:
                 self.cfg.max_new_tokens, self.llm_tokenizer.eos_token_id,
                 grammar["allowed"], grammar["next_state"], grammar["forced"],
                 grammar["dist_next"], spec_width=self.cfg.spec_width,
+            )
+        elif self.cfg.lookup_spec >= 2:
+            tokens = lookup_generate(
+                self.llm, {"params": params["llm"]}, embeds, mask,
+                self.cfg.max_new_tokens, self.llm_tokenizer.eos_token_id,
+                spec_width=self.cfg.lookup_spec,
             )
         else:
             tokens = greedy_generate(

@@ -255,3 +255,58 @@ def test_steps_per_dispatch_token_parity(setup):
             model, params, max_slots=2, steps_per_dispatch=k, **kw
         ))
         assert windowed == base, f"K={k} diverged"
+
+
+@pytest.mark.parametrize("w", [2, 4])
+def test_spec_engine_token_identical(setup, w):
+    """spec_width engine must emit exactly the spec_width=1 completions
+    (self-speculation is verify-then-commit: draft quality affects speed
+    only)."""
+    model, params, s, d = setup
+    max_new = 8
+    prefixes = _make_prefixes(5, s, d, seed=7)
+
+    def run(spec):
+        engine = ContinuousBatcher(
+            model, params, prefix_len=s, max_new_tokens=max_new, eos_id=2,
+            max_slots=3, spec_width=spec,
+        )
+        pending = [Request(i, e, m) for i, (e, m) in enumerate(prefixes)]
+        done = {}
+        while pending or engine.active.any():
+            while pending and engine.free_slots():
+                n = engine.submit_many(pending[: engine.free_slots()])
+                pending = pending[n:]
+            for c in engine.step():
+                done[c.request_id] = list(c.token_ids)
+        return done
+
+    base = run(1)
+    spec = run(w)
+    assert base.keys() == spec.keys()
+    for rid in base:
+        assert base[rid] == spec[rid], rid
+
+
+def test_spec_engine_with_int8_kv(setup):
+    model, params, s, d = setup
+    cfg_q = model.cfg.replace(kv_quant="int8")
+    model_q = LlamaModel(cfg_q, None)
+    prefixes = _make_prefixes(4, s, d, seed=9)
+
+    def run(spec):
+        engine = ContinuousBatcher(
+            model_q, params, prefix_len=s, max_new_tokens=6, eos_id=2,
+            max_slots=2, spec_width=spec,
+        )
+        pending = [Request(i, e, m) for i, (e, m) in enumerate(prefixes)]
+        done = {}
+        while pending or engine.active.any():
+            while pending and engine.free_slots():
+                n = engine.submit_many(pending[: engine.free_slots()])
+                pending = pending[n:]
+            for c in engine.step():
+                done[c.request_id] = list(c.token_ids)
+        return done
+
+    assert run(1) == run(4)
