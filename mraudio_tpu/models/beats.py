@@ -142,11 +142,16 @@ class BeatsEncoder(nn.Module):
             )(x)
 
         # Convolutional positional embedding (grouped conv1d + GELU),
-        # added residually.
+        # added residually.  wav2vec2-style padding: pad k//2 both sides
+        # then trim the LAST output for even kernels ("SamePad") — i.e.
+        # (k//2, k//2 - 1), which differs from XLA SAME's (63, 64) split
+        # at the real kernel size of 128; the asymmetry shifts every
+        # position embedding by one otherwise.
+        k = cfg.conv_pos_kernel
         pos = nn.Conv(
             features=cfg.width,
-            kernel_size=(cfg.conv_pos_kernel,),
-            padding="SAME",
+            kernel_size=(k,),
+            padding=((k // 2, k // 2 - 1),) if k % 2 == 0 else ((k // 2, k // 2),),
             feature_group_count=cfg.conv_pos_groups,
             dtype=dtype,
             param_dtype=jnp.float32,

@@ -396,9 +396,20 @@ def convert_beats(sd: dict, cfg) -> dict:
     if cfg.conv_dim != width and "post_extract_proj.weight" in sd:
         params["post_extract_proj"] = _lin(sd, "post_extract_proj")
 
-    if "encoder.pos_conv.0.weight" in sd:
-        # torch conv1d weight (out, in/groups, k) → flax (k, in/groups, out)
+    if "encoder.pos_conv.0.weight_v" in sd:
+        # The real BEATs checkpoint stores the pos conv weight-normed
+        # (torch.nn.utils.weight_norm, dim=2): weight = g * v / ||v||
+        # with the norm over dims (0, 1) per kernel position.
+        g = sd["encoder.pos_conv.0.weight_g"]
+        v = sd["encoder.pos_conv.0.weight_v"]
+        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+        w = g * v / np.maximum(norm, 1e-12)
+    elif "encoder.pos_conv.0.weight" in sd:
         w = sd["encoder.pos_conv.0.weight"]
+    else:
+        w = None
+    if w is not None:
+        # torch conv1d weight (out, in/groups, k) → flax (k, in/groups, out)
         params["pos_conv"] = {
             "kernel": w.transpose(2, 1, 0),
             "bias": sd.get("encoder.pos_conv.0.bias", np.zeros(width, np.float32)),

@@ -70,6 +70,13 @@ class VideoLLaMAConfig(_ConfigBase):
     max_output_txt_len: int = 64
     max_new_tokens: int = 64
     system_prompt: str = ""
+    # Vision-tower normalization.  Input-plane contract knob (see
+    # docs/DIVERGENCES.md "VideoLLaMA2 input-plane contract"): CLIP
+    # towers use these defaults; VideoLLaMA2.1's SigLIP tower normalizes
+    # with mean=std=(0.5, 0.5, 0.5) — set these at conversion time to
+    # match whichever tower the checkpoint carries.
+    image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
+    image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
 
 
 def tiny_videollama_config() -> VideoLLaMAConfig:
@@ -237,7 +244,10 @@ class VideoLLaMA:
                 dtype=jnp.dtype(cfg.vit.dtype),
             )
         else:
-            frames = normalize_frames(video_u8, dtype=jnp.dtype(cfg.vit.dtype))
+            frames = normalize_frames(
+                video_u8, dtype=jnp.dtype(cfg.vit.dtype),
+                mean=cfg.image_mean, std=cfg.image_std,
+            )
         b, t = frames.shape[:2]
         folded = frames.reshape((b * t,) + frames.shape[2:])
         feats = self.vit.apply({"params": params["vit"]}, folded)

@@ -25,10 +25,15 @@ CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
-def normalize_frames(frames: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    """uint8 (or 0..255 float) (..., H, W, 3) → normalized model dtype."""
+def normalize_frames(frames: jax.Array, dtype=jnp.bfloat16,
+                     mean=CLIP_MEAN, std=CLIP_STD) -> jax.Array:
+    """uint8 (or 0..255 float) (..., H, W, 3) → normalized model dtype.
+
+    ``mean``/``std`` default to the CLIP constants every live reference
+    path uses; other towers (e.g. a SigLIP VideoLLaMA2.1 vision tower,
+    which normalizes with 0.5/0.5) pass their own."""
     x = frames.astype(jnp.float32) / 255.0
-    x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+    x = (x - jnp.asarray(mean)) / jnp.asarray(std)
     return x.astype(dtype)
 
 

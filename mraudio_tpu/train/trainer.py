@@ -47,6 +47,12 @@ from mraudio_tpu.utils.logging import MetricLogger, SmoothedValue
 logger = logging.getLogger("mraudio_tpu")
 
 
+class Preempted(RuntimeError):
+    """Raised after a SIGTERM-triggered preemption save: the training
+    state (trainable subtree, optimizer state, exact step position) is on
+    disk as ``checkpoint_preempt`` and the process should exit cleanly."""
+
+
 class Trainer:
     def __init__(
         self,
@@ -205,13 +211,28 @@ class Trainer:
         self.global_step = 0
         self._nan_skips = 0  # consecutive non-finite-loss steps
         self._step_fns: dict[int, callable] = {}  # keyed on n_frms
-        # Train-time RandomResizedCrop+flip (the reference's
-        # AlproVideoTrainProcessor transform): parameters sampled
-        # host-side, applied on device inside the jitted step.
-        self._aug_rng = np.random.default_rng(tc.seed + 17)
         # LoRA dropout (reference peft dropout=0.05): one key folded with
         # the global step per train step.
         self._drop_key = jax.random.PRNGKey(tc.seed + 29)
+        # Preemption safety (TPU pods preempt; the reference's resume is
+        # manual, utils/trainer.py:29): SIGTERM sets a flag; the step
+        # loops notice it, save checkpoint_preempt (+ meta with the exact
+        # step position) and raise Preempted for a clean exit.  Resuming
+        # from that checkpoint continues mid-epoch, bitwise.
+        self._preempt_requested = False
+        self._skip_steps = 0
+        self._step_in_epoch = 0
+        self._prev_sigterm = None
+        if tc.preempt_save:
+            import signal
+
+            def _on_sigterm(signum, frame):
+                self._preempt_requested = True
+
+            try:
+                self._prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+            except ValueError:
+                pass  # not the main thread (e.g. test harness)
 
         from mraudio_tpu.utils.runlog import RunLogger
 
@@ -339,21 +360,28 @@ class Trainer:
             return tuple(jax.device_put(np.asarray(a), bsh) for a in arrays)
         return tuple(jnp.asarray(a) for a in arrays)
 
-    def _sample_crops(self, batch):
-        """Per-clip RandomResizedCrop+flip parameters for this step
-        (None with train.augment=False).  Sampled on the RGB frame dims
-        — before any wire-format packing."""
+    def _sample_crops(self, batch, step: int | None = None):
+        """Per-clip RandomResizedCrop+flip parameters for the step with
+        ordinal ``step`` (default: the next step, ``self.global_step``);
+        None with train.augment=False.  Sampled on the RGB frame dims —
+        before any wire-format packing.  Keyed on (seed, step ordinal)
+        rather than a sequential generator so a mid-epoch resume
+        reproduces the exact augmentation stream without replaying the
+        skipped steps."""
         if not self.cfg.train.augment:
             return None
         from mraudio_tpu.ops.image import sample_crop_params
 
+        if step is None:
+            step = self.global_step
         v = np.asarray(batch.video)
         if v.ndim == 4:  # packed I420 wire: (B, T, H*3/2, W)
             h, w = v.shape[2] * 2 // 3, v.shape[3]
         else:
             h, w = v.shape[2], v.shape[3]
         crop = sample_crop_params(
-            self._aug_rng, v.shape[0], h, w,
+            np.random.default_rng((self.cfg.train.seed + 17, step)),
+            v.shape[0], h, w,
             self.cfg.data.min_scale, self.cfg.data.max_scale,
         )
         if self.mesh is not None:
@@ -385,25 +413,31 @@ class Trainer:
         tc = self.cfg.train
         best_metric, best_epoch = 0.0, 0
         results = {}
-        for epoch in range(self.start_epoch, tc.max_epoch):
-            self.train_epoch(epoch)
-            if epoch % tc.val_freq == 0:
-                metrics = self.eval_epoch()
-                agg = metrics["brief"]["MR-full-R1-avg"]
-                logger.info("MR performance at epoch %d: %s", epoch, agg)
-                self.runlog.log("val", epoch=epoch, **{
-                    k: float(v) for k, v in metrics["brief"].items()
-                })
-                results[epoch] = agg
-                if jax.process_index() == 0 and agg > best_metric:
-                    best_epoch, best_metric = epoch, agg
-                    self._save_checkpoint(epoch, is_best=True)
-            if (
-                tc.save_freq > 0
-                and epoch % tc.save_freq == 0
-                and jax.process_index() == 0
-            ):
-                self._save_checkpoint(epoch, is_best=False)
+        try:
+            for epoch in range(self.start_epoch, tc.max_epoch):
+                self.train_epoch(epoch)
+                if epoch % tc.val_freq == 0:
+                    metrics = self.eval_epoch()
+                    agg = metrics["brief"]["MR-full-R1-avg"]
+                    logger.info("MR performance at epoch %d: %s", epoch, agg)
+                    self.runlog.log("val", epoch=epoch, **{
+                        k: float(v) for k, v in metrics["brief"].items()
+                    })
+                    results[epoch] = agg
+                    if jax.process_index() == 0 and agg > best_metric:
+                        best_epoch, best_metric = epoch, agg
+                        self._save_checkpoint(epoch, is_best=True)
+                if (
+                    tc.save_freq > 0
+                    and epoch % tc.save_freq == 0
+                    and jax.process_index() == 0
+                ):
+                    self._save_checkpoint(epoch, is_best=False)
+        except Preempted as e:
+            logger.info("training preempted cleanly: %s", e)
+            return {"best_epoch": best_epoch, "best_metric": best_metric,
+                    "results": results, "preempted": True,
+                    "preempt_ckpt": self._preempt_path}
         return {"best_epoch": best_epoch, "best_metric": best_metric, "results": results}
 
     def train_epoch(self, epoch: int) -> dict:
@@ -416,10 +450,19 @@ class Trainer:
             epoch, len(self.train_loader),
         )
 
+        # Mid-epoch resume: skip the batches the preempted run already
+        # consumed (data order is deterministic in (seed, epoch), crops
+        # and dropout keys are keyed on the step ordinal, so the stream
+        # continues bitwise).
+        skip, self._skip_steps = self._skip_steps, 0
+        self._step_in_epoch = skip
+
         if self._windowed:
-            self._train_epoch_windowed(epoch, metric_logger)
+            self._train_epoch_windowed(epoch, metric_logger, skip)
         else:
-            for batch in self.train_loader:
+            for i, batch in enumerate(self.train_loader):
+                if i < skip:
+                    continue
                 # jit cache keyed on n_frms: mixed-length curricula or
                 # train/val n_frms mismatches each get their own compile
                 # instead of silently reusing the first batch's step.
@@ -434,7 +477,10 @@ class Trainer:
                     jax.random.fold_in(self._drop_key, self.global_step),
                 )
                 self.global_step += 1
+                self._step_in_epoch = i + 1
                 self._post_step(float(loss), epoch, metric_logger)
+                if self._preempt_requested:
+                    self._preempt_exit(epoch)
 
         metric_logger.synchronize_between_processes()
         logger.info("Averaged stats: %s", metric_logger.global_avg())
@@ -478,7 +524,26 @@ class Trainer:
         self.runlog.log("train_step", step=self.global_step, epoch=epoch,
                         loss=loss, lr=lr)
 
-    def _train_epoch_windowed(self, epoch: int, metric_logger) -> None:
+    def _preempt_exit(self, epoch: int):
+        """Save ``checkpoint_preempt`` at the exact step position and
+        stop cleanly (SIGTERM arrived; the pod is going away)."""
+        self._preempt_path = None
+        if jax.process_index() == 0:
+            self._preempt_path = self._save_checkpoint(
+                epoch, is_best=False, name="preempt"
+            )
+        self.runlog.log(
+            "preempt", epoch=epoch, step=self.global_step,
+            step_in_epoch=self._step_in_epoch,
+        )
+        raise Preempted(
+            f"SIGTERM at epoch {epoch} step {self.global_step} "
+            f"({self._step_in_epoch} steps into the epoch); "
+            f"state saved to {self._preempt_path}"
+        )
+
+    def _train_epoch_windowed(self, epoch: int, metric_logger,
+                              skip: int = 0) -> None:
         """train.encoder_window: process the loader in windows of W
         batches — device_put the host-resident frozen encoders, encode
         the window (program A), DELETE the device copy, then run the
@@ -510,21 +575,26 @@ class Trainer:
                     arrays[4:], rng,
                 )
                 self.global_step += 1
+                self._step_in_epoch += 1
                 self._post_step(float(loss), epoch, metric_logger)
             pending.clear()
+            if self._preempt_requested:
+                # the window just completed: the step position is exact
+                self._preempt_exit(epoch)
 
-        for batch in self.train_loader:
+        for i, batch in enumerate(self.train_loader):
+            if i < skip:
+                continue
             n_frms = int(batch.timestamps.shape[1])
             fns = self._step_fns.get(n_frms)
             if fns is None:
                 fns = self._step_fns[n_frms] = self._build_step(n_frms)
             if pending and (len(pending) >= W or pending[0][0] is not fns):
                 flush()
-            rng = jax.random.fold_in(
-                self._drop_key, self.global_step + len(pending)
-            )
+            ordinal = self.global_step + len(pending)
+            rng = jax.random.fold_in(self._drop_key, ordinal)
             pending.append((fns, self._arrays_for_loss(batch),
-                            self._sample_crops(batch), rng))
+                            self._sample_crops(batch, step=ordinal), rng))
         flush()
 
     def eval_epoch(self) -> dict:
@@ -578,12 +648,27 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _save_checkpoint(self, epoch: int, is_best: bool) -> str:
+    def _save_checkpoint(self, epoch: int, is_best: bool,
+                         name: str | None = None) -> str:
         os.makedirs(self.cfg.train.output_dir, exist_ok=True)
-        name = "best" if is_best else str(epoch)
+        if name is None:
+            name = "best" if is_best else str(epoch)
         path = ckpt.save_checkpoint(
             self.cfg.train.output_dir, name, self.trainable, self.opt_state, epoch
         )
+        # Sidecar meta: the exact step position, so resume continues the
+        # LR schedule / dropout-key / augmentation streams and (for
+        # preempt saves) skips the consumed part of the epoch.  A sidecar
+        # (not part of the orbax payload) keeps old checkpoints loadable.
+        import json
+
+        step_in_epoch = self._step_in_epoch if name == "preempt" else 0
+        with open(path + ".meta.json", "w") as f:
+            json.dump({
+                "epoch": epoch,
+                "global_step": self.global_step,
+                "step_in_epoch": step_in_epoch,
+            }, f)
         logger.info("Saving checkpoint at epoch %d to %s.", epoch, path)
         return path
 
@@ -604,8 +689,28 @@ class Trainer:
         self.opt_state = jax.tree_util.tree_map(
             jnp.asarray, payload["opt_state"]
         )
-        self.start_epoch = int(payload["epoch"]) + 1
-        logger.info("Resume checkpoint from %s", path)
+        epoch = int(payload["epoch"])
+        import json
+
+        meta = None
+        if os.path.exists(path + ".meta.json"):
+            with open(path + ".meta.json") as f:
+                meta = json.load(f)
+        if meta is not None:
+            self.global_step = int(meta["global_step"])
+            self._skip_steps = int(meta["step_in_epoch"])
+            # preempt saves (step_in_epoch > 0) resume INSIDE the saved
+            # epoch; epoch-boundary saves resume at the next one
+            self.start_epoch = epoch if self._skip_steps > 0 else epoch + 1
+        else:
+            # legacy checkpoint without meta: epoch-boundary resume; the
+            # step counter is reconstructed from the epoch ordinal
+            self.start_epoch = epoch + 1
+            self.global_step = self.start_epoch * self.steps_per_epoch
+        logger.info(
+            "Resume checkpoint from %s (epoch %d, step %d, skip %d)",
+            path, self.start_epoch, self.global_step, self._skip_steps,
+        )
 
 
 def _allgather_results(results: list[dict]) -> list[dict]:

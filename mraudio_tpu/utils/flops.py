@@ -129,6 +129,30 @@ def pipeline_flops(model_cfg, audio_cfg, n_frms: int, batch: int,
     }
 
 
+def train_step_flops(model_cfg, audio_cfg, n_frms: int, batch: int,
+                     seq_len: int, grad_checkpoint: bool = True) -> dict:
+    """Analytic FLOPs of one LoRA train step (X-InstructBLIP assembly).
+
+    Accounting: the encoders/Q-Formers are frozen and run forward-only
+    (split_encode_step — no gradients flow into them); the LLM runs
+    forward + backward-through-activations (the LoRA weight grads are
+    negligible), ~2x forward for the backward, plus one full forward
+    recompute under rematerialization (llm.grad_checkpoint) → 4x (3x
+    without remat); training computes the full-sequence lm_head + CE
+    (unlike generate's last-position head), whose backward flows through
+    the frozen head weights (2x forward, no weight grad)."""
+    f = pipeline_flops(model_cfg, audio_cfg, n_frms, batch, seq_len, 0)
+    llm = model_cfg.llm
+    last_pos_head = batch * 2 * llm.hidden_size * llm.vocab_size
+    enc = f["vit"] + f["beats"] + f["qformer"]
+    llm_fwd = f["prefill"] - last_pos_head
+    mult = 4.0 if grad_checkpoint else 3.0
+    lm_head = batch * 2 * seq_len * llm.hidden_size * llm.vocab_size * 3.0
+    total = enc + llm_fwd * mult + lm_head
+    return {"encoders": enc, "llm": llm_fwd * mult, "lm_head": lm_head,
+            "total": total}
+
+
 def videollama_flops(cfg, audio_cfg, n_frms: int, batch: int,
                      prefill_len: int, decode_tokens: int) -> dict:
     """Per-batch FLOPs of the VideoLLaMA backbone's generate pipeline

@@ -1,0 +1,162 @@
+"""Preemption-safe training: SIGTERM → save exact step position → clean
+exit → bitwise mid-epoch resume.
+
+TPU pods preempt; the reference's resume is a hand-edited checkpoint
+path with epoch-granularity state (``utils/trainer.py:29,232-254``).
+Here ``checkpoint_preempt`` carries the trainable subtree, optimizer
+state (including half-accumulated MultiSteps gradients) and a meta
+sidecar with (epoch, global_step, step_in_epoch); resuming reproduces
+the uninterrupted run bit for bit because every stochastic stream is
+keyed on the step ordinal (data order: (seed, epoch); crops:
+(seed, step); LoRA dropout: fold_in(global_step)).
+"""
+
+import json
+import os
+import signal
+
+import numpy as np
+import pytest
+
+import jax
+
+from mraudio_tpu.config import (
+    RunConfig,
+    TrainConfig,
+    tiny_data_config,
+    tiny_model_config,
+)
+from mraudio_tpu.data.dataset import MRDataset
+from mraudio_tpu.models.xinstructblip import XInstructBLIP
+from mraudio_tpu.train.trainer import Preempted, Trainer
+
+
+def _write_ann(tmp_path, name, n):
+    path = str(tmp_path / name)
+    with open(path, "w") as f:
+        for i in range(n):
+            f.write(json.dumps({
+                "vid": f"v{i}", "qid": i, "query": f"action {i}",
+                "duration": 150, "relevant_windows": [[5 * i % 100, 5 * i % 100 + 10]],
+            }) + "\n")
+    return path
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("preempt")
+    train_ann = _write_ann(tmp, "train.jsonl", 8)
+    val_ann = _write_ann(tmp, "val.jsonl", 2)
+    data_cfg = tiny_data_config(n_frms=4).replace(
+        train_annotation_file=train_ann, val_annotation_file=val_ann
+    )
+    model_cfg = tiny_model_config()
+    model = XInstructBLIP(model_cfg, audio_cfg=data_cfg.audio)
+    # host copies: the train step donates its device buffers, so each
+    # trainer must get its own device tree
+    params = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(0))
+    )
+    return tmp, data_cfg, model_cfg, model, params
+
+
+def _cfg(setup, out_dir):
+    tmp, data_cfg, model_cfg, _, _ = setup
+    return RunConfig(
+        model=model_cfg,
+        data=data_cfg,
+        train=TrainConfig(
+            max_epoch=2, batch_size=2, warmup_steps=2, accum_grad_iters=2,
+            output_dir=str(tmp / out_dir), val_freq=1, save_freq=0,
+        ),
+    )
+
+
+def _trainer(setup, out_dir, resume=""):
+    tmp, data_cfg, _, model, params = setup
+    cfg = _cfg(setup, out_dir)
+    if resume:
+        cfg = cfg.replace(train=cfg.train.replace(resume_ckpt_path=resume))
+    train_ds = MRDataset(data_cfg, annotation_path=data_cfg.train_annotation_file,
+                         split="train")
+    val_ds = MRDataset(data_cfg, annotation_path=data_cfg.val_annotation_file,
+                       split="eval")
+    import jax.numpy as jnp
+
+    return Trainer(cfg, model=model,
+                   params=jax.tree_util.tree_map(jnp.asarray, params),
+                   train_dataset=train_ds, val_dataset=val_ds)
+
+
+def test_sigterm_sets_flag_and_next_step_saves(setup):
+    tr = _trainer(setup, "out_sig")
+    assert tr._preempt_requested is False
+    os.kill(os.getpid(), signal.SIGTERM)
+    signal.raise_signal(signal.SIGUSR1) if False else None  # noop spacing
+    # the handler runs at the next bytecode boundary of the main thread
+    for _ in range(100):
+        if tr._preempt_requested:
+            break
+    assert tr._preempt_requested
+
+
+def test_preempt_mid_epoch_then_resume_is_bitwise(setup):
+    # --- uninterrupted run -------------------------------------------------
+    tr_a = _trainer(setup, "out_a")
+    tr_a.train()
+    final_a = {k: np.asarray(v) for k, v in tr_a.trainable.items()}
+    steps_a = tr_a.global_step
+
+    # --- preempted run: flag raised after step 3 of epoch 0 ----------------
+    tr_b = _trainer(setup, "out_b")
+    orig_post = tr_b._post_step
+
+    def post_then_preempt(loss, epoch, ml):
+        orig_post(loss, epoch, ml)
+        if tr_b.global_step == 3:
+            tr_b._preempt_requested = True
+
+    tr_b._post_step = post_then_preempt
+    out = tr_b.train()
+    assert out["preempted"] is True
+    ckpt_path = os.path.join(tr_b.cfg.train.output_dir, "checkpoint_preempt")
+    assert os.path.isdir(ckpt_path)
+    with open(ckpt_path + ".meta.json") as f:
+        meta = json.load(f)
+    assert meta == {"epoch": 0, "global_step": 3, "step_in_epoch": 3}
+
+    # --- resume and finish --------------------------------------------------
+    tr_c = _trainer(setup, "out_c", resume=ckpt_path)
+    assert tr_c.start_epoch == 0 and tr_c.global_step == 3
+    assert tr_c._skip_steps == 3
+    tr_c.train()
+    assert tr_c.global_step == steps_a
+    for k in final_a:
+        np.testing.assert_array_equal(
+            final_a[k], np.asarray(tr_c.trainable[k]),
+            err_msg="/".join(map(str, k)),
+        )
+
+
+def test_epoch_boundary_meta_and_legacy_resume(setup, tmp_path):
+    tr = _trainer(setup, "out_meta")
+    tr.cfg.train.__dict__  # frozen dataclass; just exercise attribute access
+    # save an epoch-boundary checkpoint by hand
+    tr.global_step = tr.steps_per_epoch
+    path = tr._save_checkpoint(0, is_best=False)
+    with open(path + ".meta.json") as f:
+        meta = json.load(f)
+    assert meta["step_in_epoch"] == 0
+    assert meta["global_step"] == tr.steps_per_epoch
+
+    # resume with meta: next epoch, restored step counter
+    tr2 = _trainer(setup, "out_meta2", resume=path)
+    assert tr2.start_epoch == 1
+    assert tr2.global_step == tr.steps_per_epoch
+    assert tr2._skip_steps == 0
+
+    # legacy resume (no meta): epoch+1 and a reconstructed step counter
+    os.remove(path + ".meta.json")
+    tr3 = _trainer(setup, "out_meta3", resume=path)
+    assert tr3.start_epoch == 1
+    assert tr3.global_step == tr3.steps_per_epoch
