@@ -60,7 +60,14 @@ def _path_str(path) -> str:
 
 
 def param_shardings(params, mesh: Mesh, rules=None):
-    """Pytree of NamedShardings matching ``params``."""
+    """Pytree of NamedShardings matching ``params``.
+
+    Shape-aware: a rule axis that does not tile its dimension evenly is
+    dropped (that dimension replicates).  GSPMD requires even input
+    tiling, and real shapes break naive rules — e.g. the Vicuna vocab is
+    32001 (32000 + [PAD]), so the lm_head vocab-sharding rule cannot
+    apply on a 4-wide model axis (caught by
+    ``__graft_entry__.dryrun_fullsize_specs``)."""
     rules = LLM_RULES if rules is None else rules
 
     def to_sharding(path, leaf):
@@ -72,7 +79,16 @@ def param_shardings(params, mesh: Mesh, rules=None):
             spec = P(None, *spec)
         if len(spec) > leaf.ndim:
             spec = P(*spec[: leaf.ndim])
-        return NamedSharding(mesh, spec)
+        fixed = []
+        for i, axis in enumerate(spec):
+            if axis is not None:
+                size = 1
+                for name in (axis if isinstance(axis, tuple) else (axis,)):
+                    size *= mesh.shape[name]
+                if leaf.shape[i] % size != 0:
+                    axis = None  # uneven: replicate this dimension
+            fixed.append(axis)
+        return NamedSharding(mesh, P(*fixed))
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
