@@ -82,10 +82,21 @@ def main(argv=None):
     parser.add_argument("--params-store", default="",
                         help="prebuilt param store from mraudio_tpu.cli.convert "
                              "(skips init + torch conversion at launch)")
+    parser.add_argument("--fast", action="store_true",
+                        help="the measured stacked-throughput preset "
+                        "(+17%% at QVH full size): temporal-residual ViT "
+                        "(K=4/R=64, an approximation), yuv420 wire, and "
+                        "grammar-constrained decoding (every output "
+                        "parses).  Quality-gated by "
+                        "tests/test_fast_preset.py; exact runs omit it.")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
     cfg = build_config(args)
+    if args.fast:
+        from mraudio_tpu.config import apply_fast_preset
+
+        cfg = apply_fast_preset(cfg)
 
     from mraudio_tpu.cli.convert import resolve_params
     from mraudio_tpu.infer.evaluate import run_inference

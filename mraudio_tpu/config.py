@@ -412,6 +412,11 @@ class DataConfig(_ConfigBase):
     num_chunks: int = 1
     chunk_idx: int = 0
     prefetch_depth: int = 2
+    # "live" = the reference's two-line query+task prompt (its live
+    # path); "fewshot" = the tagged few-shot surface its dead builder
+    # sketched (utils/mr_dataset.py:57-93) — opt-in, pair with
+    # model.time_format="relative_floats".
+    prompt_style: str = "live"
 
     @classmethod
     def for_dataset(cls, dataset: str, **kwargs) -> "DataConfig":
@@ -596,6 +601,30 @@ def full_model_config() -> XInstructBLIPConfig:
     return XInstructBLIPConfig(
         llm=LlamaConfig(quantization="int8", kv_quant="int8")
     )
+
+
+def apply_fast_preset(cfg: "RunConfig") -> "RunConfig":
+    """The measured stacked-throughput preset (``evaluate --fast``):
+
+    * temporal-residual ViT (keyframe_interval=4, residual_tokens=64) —
+      non-key frames run the transformer on their 64 most-changed
+      patches only (an approximation);
+    * yuv420 wire — half the host→device video bytes (lossless vs the
+      4:2:0 source);
+    * grammar-constrained decoding with forced-token speculation —
+      every generation parses by construction (invalid_pred_num == 0).
+
+    Measured together at QVH full size: 0.7338 clips/s vs the 0.6294
+    exact headline (+17%, docs/BENCHMARKS.md).  Quality-gated by
+    tests/test_fast_preset.py on a task-solving synthetic model."""
+    model = cfg.model.replace(
+        vit=cfg.model.vit.replace(keyframe_interval=4, residual_tokens=64),
+        constrained_decoding=True,
+        spec_width=4,
+        video_wire="yuv420",
+    )
+    data = cfg.data.replace(video_wire="yuv420")
+    return cfg.replace(model=model, data=data)
 
 
 def tiny_data_config(n_frms: int = 4) -> DataConfig:

@@ -30,7 +30,7 @@ from mraudio_tpu.data.annotations import load_annotations
 from mraudio_tpu.data.audio import AudioSource, make_audio_source
 from mraudio_tpu.data.sampling import frame_timestamps, sample_frame_indices
 from mraudio_tpu.data.video import VideoSource, make_video_source
-from mraudio_tpu.text.prompts import build_query_prompt
+from mraudio_tpu.text.prompts import build_prompt
 
 
 @dataclasses.dataclass
@@ -147,7 +147,7 @@ class MRDataset:
             audio=np.zeros(self.audio_num_samples, np.int16),
             timestamps=np.zeros(self.cfg.n_frms, np.int32),
             duration=ann["duration"],
-            text_input=build_query_prompt(ann["query"]),
+            text_input=build_prompt(self.cfg.prompt_style, ann["query"], ann["duration"]),
             text_output=str(ann["relevant_windows"]),
             qid=ann["qid"],
             query=ann["query"],
@@ -197,7 +197,7 @@ class MRDataset:
             audio=waveform,
             timestamps=stamps,
             duration=ann["duration"],
-            text_input=build_query_prompt(ann["query"]),
+            text_input=build_prompt(self.cfg.prompt_style, ann["query"], ann["duration"]),
             text_output=str(ann["relevant_windows"]),
             qid=ann["qid"],
             query=ann["query"],

@@ -47,7 +47,7 @@ from mraudio_tpu.config import (
     ViTConfig,
     _ConfigBase,
 )
-from mraudio_tpu.infer.generate import greedy_generate
+from mraudio_tpu.infer.generate import greedy_generate, lookup_generate
 from mraudio_tpu.models.beats import BeatsEncoder
 from mraudio_tpu.models.eva_vit import EvaViT
 from mraudio_tpu.models.layers import gelu_exact, positions_from_mask
@@ -77,6 +77,9 @@ class VideoLLaMAConfig(_ConfigBase):
     # match whichever tower the checkpoint carries.
     image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
     image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
+    # Self-speculative decoding width (0/1 = plain greedy) — see
+    # XInstructBLIPConfig.lookup_spec; bit-identical tokens.
+    lookup_spec: int = 0
 
 
 def tiny_videollama_config() -> VideoLLaMAConfig:
@@ -289,6 +292,12 @@ class VideoLLaMA:
         prompt_emb = self._embed_ids(params, jnp.asarray(enc.input_ids))
         embeds = jnp.concatenate([prefix, prompt_emb], axis=1)
         mask = jnp.concatenate([pmask, jnp.asarray(enc.attention_mask)], axis=1)
+        if cfg.lookup_spec >= 2:
+            return lookup_generate(
+                self.llm, {"params": params["llm"]}, embeds, mask,
+                cfg.max_new_tokens, self.llm_tokenizer.eos_token_id,
+                spec_width=cfg.lookup_spec,
+            )
         return greedy_generate(
             self.llm, {"params": params["llm"]}, embeds, mask,
             cfg.max_new_tokens, self.llm_tokenizer.eos_token_id,

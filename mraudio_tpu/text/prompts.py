@@ -1,8 +1,14 @@
 """Prompt construction for moment retrieval.
 
 The live prompt of the reference is the short two-line query+task string
-(``utils/mr_dataset.py:95-99``); the elaborate few-shot prompt built just
-above it (``:57-93``) is dead code and intentionally not reproduced.
+(``utils/mr_dataset.py:95-99``).  The elaborate few-shot prompt built
+just above it (``:57-93``) is dead code there (immediately overwritten);
+its *surface* — a tagged few-shot prompt with relative-percentage window
+examples and format instructions — is re-provided here as the opt-in
+``prompt_style="fewshot"`` (own wording: the reference string is an
+abandoned experiment, so structural equivalence, not byte parity, is the
+contract; pair it with ``time_format="relative_floats"`` as its window
+examples imply).
 
 Timestamp prompt formats mirror the five experiment variants of
 ``utils/utils.py:462-603`` but operate on plain Python floats instead of
@@ -38,6 +44,54 @@ def build_query_prompt(query: str) -> str:
     """The live eval/train prompt: ``Query: <q>\\n<task>`` (reference
     ``utils/mr_dataset.py:97-99``)."""
     return "Query: " + query + "\n" + TASK_PROMPT
+
+
+# Few-shot examples for prompt_style="fewshot": windows as fractions of
+# the video duration, mirroring the shape of the reference's abandoned
+# examples (single window, multi-window, near-full-span).
+FEWSHOT_EXAMPLES = (
+    ("a chef plates the finished dish and wipes the rim",
+     150, "[[0.62, 0.71]]"),
+    ("the dog runs to fetch the ball and brings it back",
+     150, "[[0.05, 0.12], [0.40, 0.49]]"),
+    ("a crowd slowly fills the stadium before the match",
+     150, "[[0.18, 0.97]]"),
+)
+
+FEWSHOT_FORMAT = (
+    "[[x, y], [a, b]] — each window is a pair of fractions of the video "
+    "duration in [0, 1]; use a single pair [[x, y]] when one window "
+    "suffices; keep windows ascending and non-overlapping."
+)
+
+
+def build_fewshot_prompt(query: str, duration: float) -> str:
+    """Opt-in few-shot prompt (the reference's dead experimental surface,
+    ``utils/mr_dataset.py:57-93``): tagged query/duration, worked
+    examples with relative windows, and explicit format rules."""
+    examples = "\n".join(
+        f"query: <Query> {q} </Query>\n"
+        f"duration: <Duration> {d} </Duration>\n"
+        f"relevant_windows: {w}\n"
+        for q, d, w in FEWSHOT_EXAMPLES
+    )
+    return (
+        "Follow the examples and format exactly.\n"
+        f"Examples: <Example>\n{examples}</Example>\n"
+        f"Format: <Format> {FEWSHOT_FORMAT} </Format>\n"
+        f"Query: <Query> {query} </Query>\n"
+        f"Duration: <Duration> {round(duration)} </Duration>\n"
+        "Give the relevant windows matching the query for the given "
+        "duration.\nrelevant_windows: "
+    )
+
+
+def build_prompt(style: str, query: str, duration: float) -> str:
+    if style == "fewshot":
+        return build_fewshot_prompt(query, duration)
+    if style == "live" or not style:
+        return build_query_prompt(query)
+    raise ValueError(f"unknown prompt_style {style!r}; expected live|fewshot")
 
 
 def _sub_annoying(value: int, replacements: Mapping[int, int] | None) -> int:

@@ -108,3 +108,20 @@ def test_model_level_lookup_spec_identical():
     model_s = XInstructBLIP(base_cfg.replace(lookup_spec=4), audio_cfg=data_cfg.audio)
     spec = model_s.generate(params, batch)
     assert base == spec
+
+
+def test_videollama_lookup_spec_identical():
+    """VideoLLaMA backbone: lookup_spec produces identical strings."""
+    from bench import make_batch
+    from mraudio_tpu.config import tiny_data_config
+    from mraudio_tpu.models.videollama import VideoLLaMA, tiny_videollama_config
+
+    data_cfg = tiny_data_config(n_frms=4)
+    cfg = tiny_videollama_config()
+    model = VideoLLaMA(cfg, audio_cfg=data_cfg.audio)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = make_batch(data_cfg, model, 2)
+    base = model.generate(params, batch)
+    model_s = VideoLLaMA(cfg.replace(lookup_spec=4), audio_cfg=data_cfg.audio)
+    spec = model_s.generate(params, batch)
+    assert base == spec

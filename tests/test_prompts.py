@@ -126,3 +126,42 @@ def test_framenumbers_reference_path_is_broken(ref_utils):
     )
     assert prompt == ">".join(str(i) for i in range(len(TIMESTAMPS))) + ">" + str(DURATION)
     assert ts == [float(i) for i in range(len(TIMESTAMPS))]
+
+
+def test_fewshot_prompt_surface():
+    """prompt_style="fewshot": the reference's dead experimental surface
+    (utils/mr_dataset.py:57-93) re-provided as an opt-in — tagged
+    query/duration, worked relative-window examples, format rules."""
+    from mraudio_tpu.text.prompts import (
+        FEWSHOT_EXAMPLES,
+        build_fewshot_prompt,
+        build_prompt,
+        build_query_prompt,
+    )
+
+    p = build_fewshot_prompt("a dog barks twice", 120.0)
+    assert "<Query> a dog barks twice </Query>" in p
+    assert "<Duration> 120 </Duration>" in p
+    assert "<Example>" in p and "<Format>" in p
+    for q, d, w in FEWSHOT_EXAMPLES:
+        assert q in p and w in p
+    assert p.endswith("relevant_windows: ")
+
+    assert build_prompt("live", "q", 10) == build_query_prompt("q")
+    assert build_prompt("", "q", 10) == build_query_prompt("q")
+    assert build_prompt("fewshot", "q", 10) == build_fewshot_prompt("q", 10)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        build_prompt("nope", "q", 10)
+
+
+def test_dataset_prompt_style_knob():
+    from mraudio_tpu.config import tiny_data_config
+    from mraudio_tpu.data.dataset import MRDataset
+
+    ann = [{"vid": "v0", "qid": 0, "query": "x happens", "duration": 60,
+            "relevant_windows": [[1, 2]]}]
+    ds = MRDataset(tiny_data_config(n_frms=4).replace(prompt_style="fewshot"),
+                   annotations=ann)
+    s = ds.get(0)
+    assert "<Query> x happens </Query>" in s.text_input
