@@ -82,6 +82,11 @@ def make_profile(name: str):
         # identical by construction).
         constrained = os.environ.get("MRAUDIO_BENCH_CONSTRAINED", "0") == "1"
         spec = int(os.environ.get("MRAUDIO_BENCH_SPEC_WIDTH", "4"))
+        # MRAUDIO_BENCH_LOOKUP_SPEC=W (W>=2) turns on exact greedy
+        # self-speculation (infer/generate.py::lookup_generate) — token-
+        # identical to plain greedy, so unlike the grammar path it IS
+        # clip-comparable with the unconstrained baseline.
+        lookup = int(os.environ.get("MRAUDIO_BENCH_LOOKUP_SPEC", "0"))
         # MRAUDIO_BENCH_VIDEO_WIRE=yuv420 ships I420 planes (half the
         # host->device video bytes; identical pixels up to 4:2:0 chroma,
         # which the source video had already discarded).
@@ -113,6 +118,7 @@ def make_profile(name: str):
                             prefill_chunk=pf_chunk),
             constrained_decoding=constrained,
             spec_width=spec,
+            lookup_spec=lookup,
             video_wire=wire,
         )
         if name == "charades":
@@ -227,6 +233,20 @@ def run(profile: str, steps: int | None = None, batch_size: int | None = None):
     from mraudio_tpu.models.casting import cast_params_for_inference
 
     params = cast_params_for_inference(params)
+    if os.environ.get("MRAUDIO_BENCH_ZERO_HEAD"):
+        # Upper-bound probe for lookup speculation: an all-zero lm_head
+        # makes greedy emit one repeated token (argmax ties at 0: never
+        # EOS, so the full 64-step budget runs, and every bigram draft
+        # verifies).  Same compiled graphs as the normal run — only the
+        # param values change — so greedy-vs-lookup under this flag
+        # isolates the decode-dispatch reduction at acceptance=1.
+        import jax.numpy as jnp
+
+        params = dict(params)
+        params["llm"] = dict(params["llm"])
+        params["llm"]["lm_head"] = {
+            k: jnp.zeros_like(v) for k, v in params["llm"]["lm_head"].items()
+        }
     batch = make_batch(data_cfg, model, batch_size)
     setup_time = time.time() - setup_t0
 

@@ -141,7 +141,7 @@ def test_grammar_lever_keeps_spans_identical(trained):
     gcfg = cfg.replace(constrained_decoding=True, spec_width=4)
     fast = _score(_records(
         XInstructBLIP(gcfg, audio_cfg=tiny_data_config().audio), params, batch))
-    assert exact["MR-full-R1@0.5"] == 1.0
+    assert exact["MR-full-R1@0.5"] == 100.0  # QVH metrics are percentages
     assert fast["MR-full-R1@0.5"] == exact["MR-full-R1@0.5"]
     assert fast["MR-full-mIoU"] == exact["MR-full-mIoU"]
     assert fast["MR-full-invalid_pred_num"] == 0
@@ -160,8 +160,8 @@ def test_fast_full_preset_bounded_metric_delta(trained):
     assert fast["MR-full-invalid_pred_num"] == 0
     # The tiny 2-patch residual encoder is a far harsher approximation
     # than the production 64-of-256; the gate bounds the collapse.
-    assert fast["MR-full-R1@0.5"] >= exact["MR-full-R1@0.5"] - 0.5
-    assert fast["MR-full-mIoU"] >= exact["MR-full-mIoU"] - 0.5
+    assert fast["MR-full-R1@0.5"] >= exact["MR-full-R1@0.5"] - 50.0
+    assert fast["MR-full-mIoU"] >= exact["MR-full-mIoU"] - 50.0
 
 
 def test_fast_preset_production_values():
