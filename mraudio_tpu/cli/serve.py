@@ -59,7 +59,8 @@ def encode_requests(model, params, dataset, limit=None):
 
 def serve(model, params, requests, max_slots: int, max_new_tokens: int,
           max_prefill_batch: int = 0, steps_per_dispatch: int = 1,
-          spec_width: int = 1):
+          spec_width: int = 1, pipeline_depth: int = 2,
+          encode_s: float = 0.0):
     """Run the stream through the engine; returns (records, stats)."""
     from mraudio_tpu.infer.serving import ContinuousBatcher
     from mraudio_tpu.text.postprocess import moment_str_to_list, post_process
@@ -71,6 +72,7 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         max_prefill_batch=max_prefill_batch,
         steps_per_dispatch=steps_per_dispatch,
         spec_width=spec_width,
+        pipeline_depth=pipeline_depth,
     )
 
     pending = list(requests)
@@ -92,15 +94,28 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
             "latency_s": round(time.time() - submit_time[completion.request_id], 4),
         })
 
+    # Stage attribution: a decode "step" is one engine dispatch (1 token,
+    # K window tokens, or a W-wide verify pass) INCLUDING its token
+    # readback — on remote-attached devices the host round trip is part
+    # of the real per-step cost, which is exactly what this breakdown is
+    # for (sec_per_decode_step vs the device-only HBM floor).
+    prefill_s = decode_s = 0.0
+    prefill_calls = decode_steps = 0
     while pending or engine.active.any():
         if pending and engine.free_slots():
             # simultaneous arrivals share one batched prefill dispatch
             now = time.time()
             admitted = engine.submit_many([req for req, _ in pending])
+            prefill_s += time.time() - now
+            prefill_calls += 1
             for req, _ in pending[:admitted]:
                 submit_time[req.request_id] = now
             del pending[:admitted]
-        for completion in engine.step():
+        t0 = time.time()
+        completions = engine.step()
+        decode_s += time.time() - t0
+        decode_steps += 1
+        for completion in completions:
             handle(completion)
     elapsed = time.time() - t_start
 
@@ -112,10 +127,27 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         "kv_keep": engine.kv_keep,
         "steps_per_dispatch": engine.steps_per_dispatch,
         "spec_width": engine.spec_width,
+        "pipeline_depth": engine.pipeline_depth,
         "elapsed_s": round(elapsed, 2),
         "requests_per_sec": round(len(records) / elapsed, 4),
         "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
         "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
+        "prefill_s": round(prefill_s, 2),
+        "prefill_calls": prefill_calls,
+        # requests_per_sec covers the engine (prefill+decode), matching
+        # how LLM serving is usually quoted; the encode-included rate
+        # counts the per-request encoder pass too (here it runs upfront;
+        # a deployment would overlap it with decode on a second stream)
+        "encode_s": round(encode_s, 2),
+        "requests_per_sec_incl_encode": (
+            round(len(records) / (elapsed + encode_s), 4)
+            if (elapsed + encode_s) > 0 else 0.0
+        ),
+        "decode_s": round(decode_s, 2),
+        "decode_steps": decode_steps,
+        "sec_per_decode_step": (
+            round(decode_s / decode_steps, 4) if decode_steps else 0.0
+        ),
     }
     return records, stats
 
@@ -162,6 +194,12 @@ def main(argv=None):
                         "per slot in one pass and commits the agreed "
                         "prefix (token-identical; accepted guesses remove "
                         "whole dispatches from the HBM-bound decode)")
+    parser.add_argument("--pipeline-depth", type=int, default=2,
+                        help="decode dispatches kept in flight (greedy/"
+                        "window path): 2 chains each dispatch off device-"
+                        "resident state and reads tokens back one dispatch "
+                        "late, hiding the host round trip per token; 1 = "
+                        "synchronous readback every dispatch")
     parser.add_argument("--sweep-slots", default="",
                         help="comma-separated slot counts to benchmark, e.g. 1,2,4,8")
     args = parser.parse_args(argv)
@@ -192,7 +230,9 @@ def main(argv=None):
         cfg.data, annotation_path=cfg.data.annotation_file, split="eval"
     )
     limit = args.max_requests or None
+    t_enc = time.time()
     requests = encode_requests(model, params, dataset, limit=limit)
+    encode_s = time.time() - t_enc
 
     if args.sweep_slots:
         for slots in (int(s) for s in args.sweep_slots.split(",")):
@@ -200,7 +240,9 @@ def main(argv=None):
                              model.cfg.max_new_tokens,
                              max_prefill_batch=args.max_prefill_batch,
                              steps_per_dispatch=args.steps_per_dispatch,
-                             spec_width=args.spec_width)
+                             spec_width=args.spec_width,
+                             pipeline_depth=args.pipeline_depth,
+                             encode_s=encode_s)
             print(json.dumps(stats))
         return
 
@@ -208,7 +250,9 @@ def main(argv=None):
                            model.cfg.max_new_tokens,
                            max_prefill_batch=args.max_prefill_batch,
                            steps_per_dispatch=args.steps_per_dispatch,
-                           spec_width=args.spec_width)
+                           spec_width=args.spec_width,
+                           pipeline_depth=args.pipeline_depth,
+                           encode_s=encode_s)
     if args.output_file:
         with open(args.output_file, "w") as f:
             for r in records:

@@ -11,6 +11,8 @@ This engine keeps ``max_slots`` decode lanes live on the chip:
 * every engine step advances ALL active slots by one token in a single
   jitted call — slots may sit at different sequence lengths, handled by
   per-slot cache write columns (one-hot scatter inside the attention);
+  decode state stays device-resident and dispatches are pipelined two
+  deep, so the host round trip per token overlaps device compute;
 * a slot frees the moment its row hits EOS or the token budget, so a
   short answer never waits on the longest request in flight — the
   continuous-batching win over static batching.
@@ -58,6 +60,7 @@ class ContinuousBatcher:
         max_prefill_batch: int = 0,
         steps_per_dispatch: int = 1,
         spec_width: int = 1,
+        pipeline_depth: int = 2,
     ):
         self.model = model
         self.params = params
@@ -95,6 +98,21 @@ class ContinuousBatcher:
         # W-wide pass costs ~one 1-wide step; every accepted guess
         # removes a whole dispatch.  Token-identical to spec_width=1.
         self.spec_width = max(1, spec_width)
+        # Decode-dispatch pipelining (greedy/window path): all decode row
+        # state (cur token, positions, valid mask, write columns) lives ON
+        # DEVICE, so dispatch k+1 chains directly off dispatch k's
+        # device-resident outputs and the host reads back dispatch k's
+        # tokens while k+1 computes.  On a remote-attached device the
+        # host round trip per token (dispatch RPC + token readback) is
+        # what dominates decode time; with depth 2 it fully overlaps
+        # device compute.  Token-exact: host bookkeeping (EOS, budget,
+        # slot freeing) lags one dispatch — a freed row's in-flight ghost
+        # step computes one extra (discarded) token, and admission
+        # overwrites the row's device state wholesale, so outputs are
+        # identical to depth 1.  depth 1 = process each dispatch's tokens
+        # synchronously (the pre-pipelining engine).
+        self.pipeline_depth = max(1, pipeline_depth)
+        self._inflight: list[tuple] = []
         self.slot_prefix = self.kv_keep or prefix_len
         # +W slack columns: a draft may overhang the budget; overhanging
         # writes are never marked valid and get overwritten.
@@ -114,19 +132,32 @@ class ContinuousBatcher:
             else:
                 for layer in self.cache:
                     layer["valid"] = jnp.zeros(vshape, jnp.int32)
+        # Host row state drives the spec path (drafts come from each
+        # slot's emitted history, inherently host-in-the-loop); the
+        # greedy/window path keeps the same state on device (below) and
+        # never syncs it back.
         self.valid = np.zeros((max_slots, self.max_len), np.int32)
         self.positions = np.zeros((max_slots,), np.int32)  # last RoPE position
         self.lengths = np.full((max_slots,), prefix_len, np.int32)  # next write col
         self.cur_ids = np.zeros((max_slots,), np.int32)
+        # Device row state for the pipelined greedy/window path.
+        self.dvalid = jnp.zeros((max_slots, self.max_len), jnp.int32)
+        self.dpos = jnp.zeros((max_slots,), jnp.int32)
+        self.dlen = jnp.full((max_slots,), self.slot_prefix, jnp.int32)
+        self.dcur = jnp.zeros((max_slots,), jnp.int32)
         self.emitted: list[list[int]] = [[] for _ in range(max_slots)]
         self.slot_request: list[Optional[int]] = [None] * max_slots
         self.active = np.zeros((max_slots,), bool)
 
         self._prefill = jax.jit(self._prefill_fn)
-        self._decode = jax.jit(self._decode_fn, donate_argnums=(1,))
-        self._decode_window = jax.jit(self._decode_window_fn, donate_argnums=(1,))
+        self._decode_window = jax.jit(
+            self._decode_window_fn, donate_argnums=(1, 2, 3, 4, 5)
+        )
         self._decode_spec = jax.jit(self._decode_spec_fn, donate_argnums=(1,))
         self._write_slots = jax.jit(self._write_slots_fn, donate_argnums=(0,))
+        self._admit_rows = jax.jit(
+            self._admit_rows_fn, donate_argnums=(0, 1, 2, 3)
+        )
 
     # ------------------------------------------------------------------
 
@@ -177,8 +208,8 @@ class ContinuousBatcher:
         """``steps_per_dispatch`` decode micro-steps in one dispatch.
 
         Emits the token written at each micro-step (``cur_ids`` at entry,
-        then each argmax) — identical, row-wise, to repeated ``_decode``
-        calls: rows never read each other's state.  Inactive rows are
+        then each argmax) — identical, row-wise, to K single-step
+        dispatches: rows never read each other's state.  Inactive rows are
         frozen (no valid/position/length advance); their KV writes land
         on a never-valid column and are overwritten at admission, exactly
         as in the single-step path."""
@@ -239,16 +270,20 @@ class ContinuousBatcher:
         )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache  # (B, W)
 
-    def _decode_fn(self, params, cache, cur_ids, positions, valid, write_cols):
-        embeds = self.model.apply(
-            params, method=lambda m, ids: m.embed(ids), ids=cur_ids[:, None]
-        )
-        attend = valid[:, None, None, :].astype(bool)
-        logits, cache = self.model.apply(
-            params, embeds, attend, (positions + 1)[:, None],
-            cache=cache, cache_index=write_cols, kv_valid=valid,
-        )
-        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+    def _admit_rows_fn(self, dcur, dpos, dvalid, dlen, slots, first_ids,
+                       last_pos, valid_rows):
+        """Scatter freshly-prefilled row state into the device decode
+        state — the pipelined twin of the host-array writes in
+        ``submit_many``.  ``first_ids``/``last_pos`` come straight from
+        the prefill dispatch (never synced to host), so admission is a
+        fully async device-side chain: prefill → KV scatter → row-state
+        scatter, overlapping any in-flight decode readback."""
+        n = slots.shape[0]
+        dcur = dcur.at[slots].set(first_ids[:n])
+        dpos = dpos.at[slots].set(last_pos[:n])
+        dvalid = dvalid.at[slots].set(valid_rows)
+        dlen = dlen.at[slots].set(self.slot_prefix)
+        return dcur, dpos, dvalid, dlen
 
     # ------------------------------------------------------------------
 
@@ -291,64 +326,102 @@ class ContinuousBatcher:
         self.cache = self._write_slots(
             self.cache, batch_cache, jnp.asarray(slots)
         )
-        first_ids = np.asarray(first_ids)
-        last_pos = np.asarray(last_pos)
-        for i, (request, slot) in enumerate(zip(take, slots)):
-            slot = int(slot)
-            self.valid[slot] = 0
+        if self.spec_width > 1:
+            # host row state (drafting reads it every step)
+            first_ids_h = np.asarray(first_ids)
+            last_pos_h = np.asarray(last_pos)
+            for i, (request, slot) in enumerate(zip(take, slots)):
+                slot = int(slot)
+                self.valid[slot] = 0
+                if self.kv_keep:
+                    # kept columns: the shared mask covers the region;
+                    # each layer's own `valid` leaf (in the cache)
+                    # refines it
+                    self.valid[slot, : self.slot_prefix] = 1
+                else:
+                    self.valid[slot, : self.prefix_len] = np.asarray(
+                        request.prefix_mask
+                    )
+                self.positions[slot] = int(last_pos_h[i])
+                self.lengths[slot] = self.slot_prefix
+                self.cur_ids[slot] = int(first_ids_h[i])
+        else:
+            # device row state: no host sync anywhere in admission
+            valid_rows = np.zeros((n, self.max_len), np.int32)
             if self.kv_keep:
-                # kept columns: the shared mask covers the region; each
-                # layer's own `valid` leaf (in the cache) refines it
-                self.valid[slot, : self.slot_prefix] = 1
+                valid_rows[:, : self.slot_prefix] = 1
             else:
-                self.valid[slot, : self.prefix_len] = np.asarray(request.prefix_mask)
-            self.positions[slot] = int(last_pos[i])
-            self.lengths[slot] = self.slot_prefix
-            self.cur_ids[slot] = int(first_ids[i])
+                for i, request in enumerate(take):
+                    valid_rows[i, : self.prefix_len] = np.asarray(
+                        request.prefix_mask
+                    )
+            self.dcur, self.dpos, self.dvalid, self.dlen = self._admit_rows(
+                self.dcur, self.dpos, self.dvalid, self.dlen,
+                jnp.asarray(slots), first_ids, last_pos,
+                jnp.asarray(valid_rows),
+            )
+        for request, slot in zip(take, slots):
+            slot = int(slot)
             self.emitted[slot] = []
             self.slot_request[slot] = request.request_id
             self.active[slot] = True
         return n
 
     def step(self) -> list[Completion]:
-        """Advance every active slot by one token (``steps_per_dispatch``
-        tokens per call when configured)."""
-        if not self.active.any():
+        """Advance every active slot by ``steps_per_dispatch`` tokens.
+
+        Greedy/window path: dispatches chain off device-resident state;
+        with ``pipeline_depth`` 2 the tokens returned are those of the
+        PREVIOUS dispatch (read back while the new one computes), so the
+        first call after admission returns [] and completions surface one
+        dispatch later — same tokens, same order per request."""
+        if not self.active.any() and not self._inflight:
             return []
         if self.spec_width > 1:
             return self._step_spec()
-        if self.steps_per_dispatch > 1:
-            return self._step_window()
+        return self._step_pipelined()
 
-        active_idx = np.where(self.active)[0]
-        # the token being written becomes attendable this step
-        for i in active_idx:
-            self.valid[i, self.lengths[i]] = 1
+    def _step_pipelined(self) -> list[Completion]:
+        if self.active.any():
+            (self.cache, self.dcur, self.dpos, self.dvalid, self.dlen,
+             toks) = self._decode_window(
+                self.params, self.cache, self.dcur, self.dpos, self.dvalid,
+                self.dlen, jnp.asarray(self.active),
+            )
+            # snapshot request ids: a slot freed+readmitted before this
+            # dispatch's readback must not absorb its ghost tokens
+            self._inflight.append(
+                (toks, self.active.copy(), list(self.slot_request))
+            )
+        completions: list[Completion] = []
+        while self._inflight and (
+            len(self._inflight) >= self.pipeline_depth
+            or not self.active.any()
+        ):
+            completions.extend(self._process_readback())
+        return completions
 
-        nxt, self.cache = self._decode(
-            self.params,
-            self.cache,
-            jnp.asarray(self.cur_ids),
-            jnp.asarray(self.positions),
-            jnp.asarray(self.valid),
-            jnp.asarray(self.lengths),
-        )
-        nxt = np.asarray(nxt)
-
+    def _process_readback(self) -> list[Completion]:
+        toks, snap_active, snap_req = self._inflight.pop(0)
+        toks = np.asarray(toks)                      # (K, max_slots) sync
         completions = []
-        for i in active_idx:
-            token = int(self.cur_ids[i])
-            self.emitted[i].append(token)
-            done = token == self.eos_id or len(self.emitted[i]) >= self.max_new_tokens
-            if done:
-                completions.append(Completion(self.slot_request[i], self.emitted[i]))
-                self.active[i] = False
-                self.slot_request[i] = None
-                self.valid[i] = 0
-            else:
-                self.cur_ids[i] = int(nxt[i])
-                self.positions[i] += 1
-                self.lengths[i] += 1
+        for i in np.where(snap_active)[0]:
+            if not self.active[i] or self.slot_request[i] != snap_req[i]:
+                continue                             # ghost: freed/readmitted
+            for k in range(toks.shape[0]):
+                token = int(toks[k, i])
+                self.emitted[i].append(token)
+                if (token == self.eos_id
+                        or len(self.emitted[i]) >= self.max_new_tokens):
+                    completions.append(
+                        Completion(self.slot_request[i], self.emitted[i])
+                    )
+                    self.active[i] = False
+                    self.slot_request[i] = None
+                    break
+        if not self.active.any():
+            # everything left in flight is ghost work for freed slots
+            self._inflight.clear()
         return completions
 
     def _draft_for_slot(self, i: int) -> list[int]:
@@ -417,46 +490,8 @@ class ContinuousBatcher:
                 self.lengths[i] += accept
         return completions
 
-    def _step_window(self) -> list[Completion]:
-        (self.cache, cur_ids, positions, valid, lengths, toks) = (
-            self._decode_window(
-                self.params,
-                self.cache,
-                jnp.asarray(self.cur_ids),
-                jnp.asarray(self.positions),
-                jnp.asarray(self.valid),
-                jnp.asarray(self.lengths),
-                jnp.asarray(self.active),
-            )
-        )
-        toks = np.asarray(toks)                     # (K, max_slots)
-        cur_ids, positions = np.asarray(cur_ids), np.asarray(positions)
-        valid, lengths = np.array(valid), np.asarray(lengths)  # valid: writable copy
-
-        completions = []
-        for i in np.where(self.active)[0]:
-            finished = False
-            for k in range(self.steps_per_dispatch):
-                token = int(toks[k, i])
-                self.emitted[i].append(token)
-                if token == self.eos_id or len(self.emitted[i]) >= self.max_new_tokens:
-                    completions.append(
-                        Completion(self.slot_request[i], self.emitted[i])
-                    )
-                    self.active[i] = False
-                    self.slot_request[i] = None
-                    finished = True
-                    break
-            if not finished:
-                self.cur_ids[i] = int(cur_ids[i])
-                self.positions[i] = int(positions[i])
-                self.lengths[i] = int(lengths[i])
-        self.valid = valid
-        self.valid[~self.active] = 0
-        return completions
-
     def run_to_completion(self) -> list[Completion]:
         out = []
-        while self.active.any():
+        while self.active.any() or self._inflight:
             out.extend(self.step())
         return out

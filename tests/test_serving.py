@@ -310,3 +310,53 @@ def test_spec_engine_with_int8_kv(setup):
         return done
 
     assert run(1) == run(4)
+
+
+def test_pipeline_depth_token_identical(setup):
+    """pipeline_depth=2 (device-resident state, tokens read back one
+    dispatch late) must emit exactly the depth=1 completions — the ghost
+    dispatch a freed slot receives is discarded, and admission overwrites
+    device row state wholesale."""
+    model, params, s, d = setup
+    max_new = 6
+    prefixes = _make_prefixes(5, s, d, seed=11)
+    reqs = [Request(i, e, m) for i, (e, m) in enumerate(prefixes)]
+
+    def run(depth, k=1):
+        engine = ContinuousBatcher(
+            model, params, prefix_len=s, max_new_tokens=max_new, eos_id=2,
+            max_slots=2, steps_per_dispatch=k, pipeline_depth=depth,
+        )
+        pending = list(reqs)
+        done = {}
+        # 2 slots + 5 requests: slots are freed and re-admitted while a
+        # ghost dispatch for the old request is still in flight — the
+        # request-id snapshot must keep its tokens out of the new request
+        while pending or engine.active.any() or engine._inflight:
+            if pending and engine.free_slots():
+                admitted = engine.submit_many(pending)
+                del pending[:admitted]
+            for c in engine.step():
+                done[c.request_id] = list(c.token_ids)
+        return done
+
+    base = run(1)
+    assert run(2) == base
+    assert run(2, k=3) == base  # pipelined window dispatches
+
+
+def test_pipeline_readback_lag_and_drain(setup):
+    """The first pipelined step primes the queue (no tokens yet); the
+    drain after the last active row still surfaces every completion."""
+    model, params, s, d = setup
+    prefixes = _make_prefixes(1, s, d, seed=13)
+    engine = ContinuousBatcher(
+        model, params, prefix_len=s, max_new_tokens=4, eos_id=2,
+        max_slots=1, pipeline_depth=2,
+    )
+    assert engine.submit(Request(0, *prefixes[0]))
+    first = engine.step()
+    assert first == [] and len(engine._inflight) == 1
+    out = engine.run_to_completion()
+    assert len(out) == 1 and len(out[0].token_ids) == 4
+    assert not engine._inflight  # drained
