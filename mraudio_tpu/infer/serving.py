@@ -38,8 +38,14 @@ from mraudio_tpu.models.llama import LlamaModel, compact_cache, init_cache
 @dataclasses.dataclass
 class Request:
     request_id: int
-    prefix_embeds: np.ndarray   # (S, D)
-    prefix_mask: np.ndarray     # (S,)
+    # (S, D).  May be a jax.Array: device-resident embeds are stacked on
+    # device at admission, so a request produced by an on-device encoder
+    # pass never round-trips through the host.  On a remote-attached
+    # device that round trip (~44 MB bf16 at QVH full size, D2H then H2D
+    # again at admission) costs multiple seconds per request — more than
+    # the encoder pass itself.
+    prefix_embeds: np.ndarray
+    prefix_mask: np.ndarray     # (S,) — small; stays host-side
 
 
 @dataclasses.dataclass
@@ -313,15 +319,18 @@ class ContinuousBatcher:
         bucket = 1
         while bucket < n:
             bucket *= 2
-        embeds = np.stack(
+        # jnp.stack keeps device-resident embeds on device (np inputs are
+        # uploaded exactly as before); masks are tiny and stay host-math.
+        embeds = jnp.stack(
             [r.prefix_embeds for r in take]
             + [take[-1].prefix_embeds] * (bucket - n)
         )
         masks = np.stack(
-            [r.prefix_mask for r in take] + [take[-1].prefix_mask] * (bucket - n)
+            [np.asarray(r.prefix_mask) for r in take]
+            + [np.asarray(take[-1].prefix_mask)] * (bucket - n)
         )
         batch_cache, first_ids, last_pos = self._prefill(
-            self.params, jnp.asarray(embeds), jnp.asarray(masks)
+            self.params, embeds, jnp.asarray(masks)
         )
         self.cache = self._write_slots(
             self.cache, batch_cache, jnp.asarray(slots)

@@ -122,6 +122,39 @@ def test_submit_many_matches_sequential(setup):
     assert cap == seq
 
 
+def test_device_resident_request_embeds(setup):
+    """Requests whose prefix embeds are jax device arrays (the serve
+    CLI's no-readback path) are token-identical to np-array requests —
+    admission stacks them on device instead of round-tripping the
+    (S, D) prefix through the host."""
+    model, params, s, d = setup
+    max_new = 5
+    prefixes = _make_prefixes(3, s, d, seed=7)
+
+    def run(device_arrays):
+        if device_arrays:
+            reqs = [Request(i, jnp.asarray(e), m)
+                    for i, (e, m) in enumerate(prefixes)]
+        else:
+            reqs = [Request(i, e, m) for i, (e, m) in enumerate(prefixes)]
+        engine = ContinuousBatcher(
+            model, params, prefix_len=s, max_new_tokens=max_new, eos_id=2,
+            max_slots=2,
+        )
+        pending, results = list(reqs), {}
+        while engine.active.any() or pending:
+            if pending and engine.free_slots():
+                admitted = engine.submit_many(pending)
+                del pending[:admitted]
+            for comp in engine.step():
+                results[comp.request_id] = comp.token_ids
+        return results
+
+    host = run(False)
+    dev = run(True)
+    assert host == dev and set(dev) == {0, 1, 2}
+
+
 def test_submit_many_with_kv_keep(setup):
     """Batched admission through the compacted-cache path (per-layer
     `valid` leaves ride the scatter)."""
@@ -222,6 +255,23 @@ def test_serve_cli_end_to_end(tmp_path):
     assert {r["qid"] for r in rows} == set(range(5))
     for r in rows:
         assert "pred_relevant_windows" in r and r["latency_s"] > 0
+
+    # inline encode mode: encodes interleave with decode inside the serve
+    # loop; same records come out (order may differ)
+    out2 = str(tmp_path / "serve_inline.jsonl")
+    main([
+        "--annotation-file", ann,
+        "--video-source", "synthetic",
+        "--model-size", "tiny",
+        "--n-frms", "4",
+        "--slots", "2",
+        "--encode-mode", "inline",
+        "--output-file", out2,
+    ])
+    rows2 = [_json.loads(l) for l in open(out2)]
+    key = lambda r: r["qid"]  # noqa: E731
+    strip = lambda r: {k: v for k, v in r.items() if k != "latency_s"}  # noqa: E731
+    assert sorted(map(strip, rows2), key=key) == sorted(map(strip, rows), key=key)
 
 
 def test_steps_per_dispatch_token_parity(setup):
