@@ -458,6 +458,109 @@ def cached_train_results() -> dict | None:
     return None
 
 
+SERVE_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".bench_serve_cache.json")
+
+
+def run_serve(profile: str = "serve") -> dict:
+    """Serving-throughput profile: requests/sec of the continuous-batching
+    engine (`infer/serving.py`) driven through the serve CLI's loop, full
+    size ("serve") or tiny ("serve-tiny").
+
+    Default = the production pipeline rate: inline encode mode (encoder
+    dispatches overlap in-flight decode, device-resident prefix embeds —
+    no host round trip per request) on the measured deployable engine
+    config (slots=4, 2-wide batched admission, SnapKV keep=1784; see
+    docs/BENCHMARKS.md "Serving").  requests/sec then covers everything a
+    deployment pays per request: preprocess, encoders, prefill, decode.
+    Knobs (env): MRAUDIO_BENCH_SERVE_{REQUESTS,SLOTS,MPB,KV_KEEP,SPEC,
+    PIPELINE,MODE}.  Like the train profile, results are cached in
+    ``.bench_serve_cache.json`` so the routine ~10-min benchmark run
+    embeds them without re-measuring; refresh with
+    ``MRAUDIO_BENCH_PROFILE=serve python bench.py``."""
+    import json as _json
+    import time as _time
+
+    import jax
+
+    from mraudio_tpu.cli.serve import (
+        encode_request_stream, encode_requests, serve,
+    )
+    from mraudio_tpu.data.dataset import MRDataset
+    from mraudio_tpu.models.casting import cast_params_for_inference
+    from mraudio_tpu.models.xinstructblip import XInstructBLIP
+
+    tiny = profile.endswith("tiny")
+    env = lambda k, d: os.environ.get(f"MRAUDIO_BENCH_SERVE_{k}", d)  # noqa: E731
+    n_requests = int(env("REQUESTS", "5" if tiny else "10"))
+    slots = int(env("SLOTS", "2" if tiny else "4"))
+    mpb = int(env("MPB", "0" if tiny else "2"))
+    kv_keep = int(env("KV_KEEP", "0" if tiny else "1784"))
+    spec = int(env("SPEC", "1"))
+    depth = int(env("PIPELINE", "2"))
+    mode = env("MODE", "inline")
+
+    model_cfg, data_cfg, _, _ = make_profile("tiny" if tiny else "full")
+    if kv_keep:
+        model_cfg = model_cfg.replace(
+            llm=model_cfg.llm.replace(kv_keep=kv_keep)
+        )
+    setup_t0 = _time.time()
+    model = XInstructBLIP(model_cfg, audio_cfg=data_cfg.audio)
+    params = cast_params_for_inference(
+        model.init_params(jax.random.PRNGKey(0))
+    )
+    anns = [
+        {"vid": f"srv{i}", "qid": i,
+         "query": "a person serves the benchmark request",
+         "duration": 150, "relevant_windows": [[10, 30]]}
+        for i in range(n_requests)
+    ]
+    ds = MRDataset(data_cfg, annotations=anns)
+    setup_s = _time.time() - setup_t0
+
+    if mode == "inline":
+        stream = encode_request_stream(model, params, ds, limit=n_requests,
+                                       device_embeds=True)
+        _, stats = serve(
+            model, params, None, slots, model_cfg.max_new_tokens,
+            max_prefill_batch=mpb, spec_width=spec, pipeline_depth=depth,
+            request_stream=stream,
+        )
+    else:
+        t0 = _time.time()
+        reqs = encode_requests(model, params, ds, limit=n_requests,
+                               device_embeds=False)
+        encode_s = _time.time() - t0
+        _, stats = serve(
+            model, params, reqs, slots, model_cfg.max_new_tokens,
+            max_prefill_batch=mpb, spec_width=spec, pipeline_depth=depth,
+            encode_s=encode_s,
+        )
+    result = {
+        "profile": profile,
+        **stats,
+        "setup_s": round(setup_s, 1),
+        "device": jax.devices()[0].device_kind,
+    }
+    cache = {}
+    if os.path.exists(SERVE_CACHE_PATH):
+        with open(SERVE_CACHE_PATH) as fp:
+            cache = _json.load(fp)
+    cache[profile] = result
+    with open(SERVE_CACHE_PATH, "w") as fp:
+        _json.dump(cache, fp, indent=1)
+    return result
+
+
+def cached_serve_results() -> dict | None:
+    if os.path.exists(SERVE_CACHE_PATH):
+        with open(SERVE_CACHE_PATH) as fp:
+            cache = json.load(fp)
+        return {k: {**v, "cached": True} for k, v in cache.items()}
+    return None
+
+
 def cpu_baseline(profile: str) -> float:
     """Cached CPU clips/sec for the same pipeline (0.0 when absent).
 
@@ -537,6 +640,15 @@ def main():
             "unit": "s/step", **result,
         }))
         return
+    if profile.startswith("serve"):
+        # serving-throughput profile: its own JSON line + cache refresh
+        result = run_serve(profile)
+        print(json.dumps({
+            "metric": "serve_requests_per_sec",
+            "value": result["requests_per_sec"],
+            "unit": "req/s", **result,
+        }))
+        return
     if os.environ.get("MRAUDIO_BENCH_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
 
@@ -598,6 +710,11 @@ def main():
     train_cached = cached_train_results()
     if train_cached:
         payload["train"] = train_cached
+    # Serving throughput: same offline-refreshed-cache pattern; refresh
+    # with MRAUDIO_BENCH_PROFILE=serve / serve-tiny.
+    serve_cached = cached_serve_results()
+    if serve_cached:
+        payload["serve"] = serve_cached
     if not os.environ.get("MRAUDIO_BENCH_FORCE_CPU"):
         baseline = cpu_baseline(profile)
         payload["cpu_clips_per_sec"] = round(baseline, 6)

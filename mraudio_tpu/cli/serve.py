@@ -26,7 +26,8 @@ import numpy as np
 logger = logging.getLogger("mraudio_tpu")
 
 
-def encode_request_stream(model, params, dataset, limit=None):
+def encode_request_stream(model, params, dataset, limit=None,
+                          device_embeds=True):
     """Per-annotation prefix embeds via the model's fused encoder pass,
     yielded one at a time so the serve loop can interleave encodes with
     in-flight decode dispatches (``--encode-mode inline``)."""
@@ -50,19 +51,30 @@ def encode_request_stream(model, params, dataset, limit=None):
             jnp.asarray(text.prompt_ids), jnp.asarray(text.prompt_mask),
             n_frms=batch.timestamps.shape[1],
         )
-        # embeds stay DEVICE-resident (the engine stacks them on device at
-        # admission): reading the (S, 4096) bf16 prefix back to host and
-        # re-uploading it at prefill costs ~8 s/request through a remote
-        # tunnel — more than the encoder pass itself.  Only the tiny mask
-        # syncs (which also serializes the encode for honest accounting).
+        # device_embeds=True: embeds stay DEVICE-resident (the engine
+        # stacks them on device at admission) — reading the (S, 4096) bf16
+        # prefix back to host and re-uploading it at prefill costs ~8 s/
+        # request through a remote tunnel, more than the encoder pass
+        # itself.  The cost is HBM: each buffered request holds its ~44 MB
+        # (QVH full size) prefix on the chip, so this is the INLINE-mode
+        # default (at most one admission batch is ever buffered).
+        # device_embeds=False: pull the prefix to host — upfront mode
+        # buffers EVERY request before serving starts, and N device-
+        # resident prefixes next to the prefill temps OOM a 16 GB chip at
+        # full size (measured at N=10); host-resident is the memory-safe
+        # upfront default, paying one extra upload per admission.
+        emb = embeds[0] if device_embeds else np.asarray(embeds[0])
         logger.info("encoded request %d/%d", i + 1, n)
-        yield (Request(i, embeds[0], np.asarray(mask[0])),
+        yield (Request(i, emb, np.asarray(mask[0])),
                dataset.annotation[i])
 
 
-def encode_requests(model, params, dataset, limit=None):
-    """Upfront (fully pre-encoded) request list."""
-    return list(encode_request_stream(model, params, dataset, limit=limit))
+def encode_requests(model, params, dataset, limit=None, device_embeds=False):
+    """Upfront (fully pre-encoded) request list — host-resident embeds by
+    default (see ``encode_request_stream`` on the HBM trade)."""
+    return list(encode_request_stream(
+        model, params, dataset, limit=limit, device_embeds=device_embeds
+    ))
 
 
 def serve(model, params, requests, max_slots: int, max_new_tokens: int,
@@ -263,6 +275,15 @@ def main(argv=None):
                         "one admission batch ahead, overlapping encoder "
                         "dispatches with decode — the quoted requests/sec "
                         "then includes the whole per-request pipeline")
+    parser.add_argument("--embeds", default="auto",
+                        choices=["auto", "host", "device"],
+                        help="where encoded prefix embeds live between "
+                        "encode and admission.  device: no host round "
+                        "trip (~8 s/request saved over a remote tunnel) "
+                        "but each buffered request holds ~44 MB HBM at "
+                        "QVH full size — safe inline (one admission batch "
+                        "buffered), OOMs upfront at full size.  auto = "
+                        "device when --encode-mode inline, host upfront")
     parser.add_argument("--sweep-slots", default="",
                         help="comma-separated slot counts to benchmark, e.g. 1,2,4,8")
     args = parser.parse_args(argv)
@@ -294,14 +315,18 @@ def main(argv=None):
     )
     limit = args.max_requests or None
     inline = args.encode_mode == "inline"
+    device_embeds = (args.embeds == "device"
+                     or (args.embeds == "auto" and inline))
     requests, encode_s = None, 0.0
     if not inline:
         t_enc = time.time()
-        requests = encode_requests(model, params, dataset, limit=limit)
+        requests = encode_requests(model, params, dataset, limit=limit,
+                                   device_embeds=device_embeds)
         encode_s = time.time() - t_enc
 
     def run(slots):
-        stream = (encode_request_stream(model, params, dataset, limit=limit)
+        stream = (encode_request_stream(model, params, dataset, limit=limit,
+                                        device_embeds=device_embeds)
                   if inline else None)
         return serve(model, params, requests, slots,
                      model.cfg.max_new_tokens,
@@ -312,10 +337,12 @@ def main(argv=None):
                      encode_s=encode_s, request_stream=stream)
 
     if args.sweep_slots:
+        sweep = []
         for slots in (int(s) for s in args.sweep_slots.split(",")):
             _, stats = run(slots)
             print(json.dumps(stats))
-        return
+            sweep.append(stats)
+        return sweep
 
     records, stats = run(args.slots)
     if args.output_file:
@@ -323,6 +350,7 @@ def main(argv=None):
             for r in records:
                 f.write(json.dumps(r) + "\n")
     print(json.dumps(stats))
+    return stats
 
 
 if __name__ == "__main__":

@@ -274,6 +274,60 @@ def test_serve_cli_end_to_end(tmp_path):
     assert sorted(map(strip, rows2), key=key) == sorted(map(strip, rows), key=key)
 
 
+def test_serve_cli_embeds_flag(tmp_path):
+    """`--embeds host` (pull prefix embeds to host after encode — the
+    memory-safe upfront default) and `--embeds device` (no readback) must
+    produce identical records: the bf16 prefix survives the host round
+    trip bit-exactly."""
+    import json as _json
+
+    from mraudio_tpu.cli.serve import main
+
+    ann = str(tmp_path / "ann.jsonl")
+    with open(ann, "w") as f:
+        for i in range(3):
+            f.write(_json.dumps({
+                "vid": f"v{i}", "qid": i, "query": "a person claps",
+                "duration": 60, "relevant_windows": [[5, 12]],
+            }) + "\n")
+
+    def run(embeds):
+        out = str(tmp_path / f"serve_{embeds}.jsonl")
+        main([
+            "--annotation-file", ann,
+            "--video-source", "synthetic",
+            "--model-size", "tiny",
+            "--n-frms", "4",
+            "--slots", "2",
+            "--embeds", embeds,
+            "--output-file", out,
+        ])
+        strip = lambda r: {k: v for k, v in r.items() if k != "latency_s"}  # noqa: E731
+        return sorted((strip(_json.loads(l)) for l in open(out)),
+                      key=lambda r: r["qid"])
+
+    assert run("host") == run("device")
+
+
+def test_bench_serve_tiny_profile(tmp_path, monkeypatch):
+    """The bench serving profile (inline mode, tiny config) produces the
+    stats the headline run embeds, and caches them."""
+    import bench
+
+    monkeypatch.setattr(
+        bench, "SERVE_CACHE_PATH", str(tmp_path / "serve_cache.json")
+    )
+    result = bench.run_serve("serve-tiny")
+    assert result["requests"] == 5
+    assert result["encode_mode"] == "inline"
+    assert result["requests_per_sec"] > 0
+    assert result["requests_per_sec_incl_encode"] == result["requests_per_sec"]
+    assert result["latency_p50_s"] > 0
+    cached = bench.cached_serve_results()
+    assert cached["serve-tiny"]["cached"] is True
+    assert cached["serve-tiny"]["requests_per_sec"] == result["requests_per_sec"]
+
+
 def test_steps_per_dispatch_token_parity(setup):
     """K decode micro-steps per dispatch (lax.scan window) must emit the
     same tokens as single-step dispatch — rows never read each other's
