@@ -64,8 +64,18 @@ def encode_request_stream(model, params, dataset, limit=None,
         # full size (measured at N=10); host-resident is the memory-safe
         # upfront default, paying one extra upload per admission.
         emb = embeds[0] if device_embeds else np.asarray(embeds[0])
+        # prompt-lookup hint stream for speculative drafting: the valid
+        # timestamp/duration/query token ids of this request (host-side
+        # lists — tiny next to the embeds)
+        hints = np.concatenate([
+            np.asarray(text.ts_ids).reshape(-1)[
+                np.asarray(text.ts_mask).reshape(-1) > 0],
+            np.asarray(text.dur_ids)[0][np.asarray(text.dur_mask)[0] > 0],
+            np.asarray(text.prompt_ids)[0][
+                np.asarray(text.prompt_mask)[0] > 0],
+        ])
         logger.info("encoded request %d/%d", i + 1, n)
-        yield (Request(i, emb, np.asarray(mask[0])),
+        yield (Request(i, emb, np.asarray(mask[0]), hint_ids=hints),
                dataset.annotation[i])
 
 

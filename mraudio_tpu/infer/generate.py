@@ -158,6 +158,59 @@ def greedy_generate(
     return state[-1]  # (B, max_new_tokens), eos-filled tail
 
 
+def lookup_draft(tokens, emitted, cur_id, spec_width: int,
+                 hint_ids=None, hint_mask=None):
+    """(B, W-1) draft guesses for exact self-speculation.
+
+    Primary source: the continuation after the most recent prior
+    occurrence of ``cur_id`` among the already-committed generated
+    tokens.  Fallback source: the most recent occurrence in the per-row
+    ``hint_ids`` stream — prompt-lookup drafting (PLD): moment-retrieval
+    outputs echo timestamp/duration digits that already appear verbatim
+    in the prompt's interleave text, so early in the generation (before
+    any history exists) the prompt predicts the continuation.  Final
+    fallback: repeat ``cur_id`` (harmless — every draft is verified).
+
+    ``tokens``: (B, L) committed-token buffer; ``emitted``: (B,) count of
+    committed tokens per row; ``hint_ids``/``hint_mask``: (B, H) prompt
+    token ids + validity (mask optional).  Draft quality affects speed
+    only, never output: the verify pass commits exactly the prefix the
+    model's own argmax agrees with."""
+    W = spec_width
+    b, L = tokens.shape
+    rows = jnp.arange(b)[:, None]
+    hpos = jnp.arange(L)[None, :]
+    offs_w = 1 + jnp.arange(W - 1)[None, :]
+
+    committed = hpos < emitted[:, None]                        # (B, L)
+    hit = committed & (tokens == cur_id[:, None])              # (B, L)
+    any_hist = jnp.any(hit, axis=-1)
+    j = jnp.argmax(jnp.where(hit, hpos, -1), axis=-1)          # (B,)
+    offs = j[:, None] + offs_w                                 # (B, W-1)
+    cont = tokens[rows, jnp.minimum(offs, L - 1)]
+    # guesses past the committed region are stale buffer: fall back
+    usable = (offs < emitted[:, None]) & any_hist[:, None]
+    guesses = jnp.where(usable, cont, cur_id[:, None])
+
+    if hint_ids is not None:
+        H = hint_ids.shape[1]
+        xpos = jnp.arange(H)[None, :]
+        valid = (hint_mask > 0 if hint_mask is not None
+                 else jnp.ones(hint_ids.shape, bool))
+        xhit = valid & (hint_ids == cur_id[:, None])           # (B, H)
+        any_hint = jnp.any(xhit, axis=-1)
+        xj = jnp.argmax(jnp.where(xhit, xpos, -1), axis=-1)
+        xoffs = xj[:, None] + offs_w
+        xcol = jnp.minimum(xoffs, H - 1)
+        xcont = hint_ids[rows, xcol]
+        xusable = (xoffs < H) & valid[rows, xcol] & any_hint[:, None]
+        xguess = jnp.where(xusable, xcont, cur_id[:, None])
+        # per-row preference: generated history (adjacent context) wins
+        # over the prompt when it has any match at all
+        guesses = jnp.where(any_hist[:, None], guesses, xguess)
+    return guesses
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "max_new_tokens", "eos_id", "spec_width"),
@@ -170,6 +223,8 @@ def lookup_generate(
     max_new_tokens: int,
     eos_id: int,
     spec_width: int = 4,
+    hint_ids: jax.Array = None,     # (B, H) optional prompt-lookup stream
+    hint_mask: jax.Array = None,    # (B, H)
 ) -> jax.Array:
     """Greedy decoding with self-speculation from n-gram lookup —
     bit-identical tokens to :func:`greedy_generate`, fewer decode steps.
@@ -177,14 +232,15 @@ def lookup_generate(
     Decode is HBM-bound: every step streams the full weights + KV cache
     whether it scores 1 position or 8, so a W-position verify pass costs
     ~the same wall time as a 1-position step.  Each iteration drafts
-    ``W-1`` continuation tokens by finding the most recent prior
-    occurrence of the current token in the already-generated sequence
-    (prompt-lookup / LLMA-style drafting, self-contained on device: span
-    outputs like ``[[12, 35], [40, 52]]`` repeat their delimiter and
-    digit structure heavily), runs ONE model pass over all W draft
-    positions (reusing the per-row ragged-column machinery of
-    :func:`grammar_generate`), and commits the draft prefix the model's
-    own argmax agrees with, plus the model's next token.  Worst case
+    ``W-1`` continuation tokens via n-gram lookup (:func:`lookup_draft`:
+    most recent prior occurrence of the current token in the generated
+    sequence, falling back to the ``hint_ids`` prompt stream — span
+    outputs like ``[[12, 35], [40, 52]]`` repeat their delimiter/digit
+    structure heavily AND echo timestamp digits from the prompt), runs
+    ONE model pass over all W draft positions (reusing the per-row
+    ragged-column machinery of :func:`grammar_generate`), and commits
+    the draft prefix the model's own argmax agrees with, plus the
+    model's next token.  Worst case
     (nothing accepted) commits 1 token/step — plain greedy throughput;
     anything accepted is pure speedup.  Exactness does not depend on the
     draft: every committed token is either the model's argmax at its
@@ -227,21 +283,6 @@ def lookup_generate(
     rows = jnp.arange(b)[:, None]
     jpos = jnp.arange(W)[None, :]
     kcols = jnp.arange(max_len)[None, :]
-    hpos = jnp.arange(L)[None, :]                                  # (1, L)
-
-    def draft_from_history(tokens, emitted, cur_id):
-        """(B, W-1) guesses: continuation after the most recent prior
-        occurrence of ``cur_id`` among the committed tokens; falls back
-        to repeating ``cur_id`` (harmless — drafts are verified)."""
-        committed = hpos < emitted[:, None]                        # (B, L)
-        hit = committed & (tokens == cur_id[:, None])              # (B, L)
-        any_hit = jnp.any(hit, axis=-1)
-        j = jnp.argmax(jnp.where(hit, hpos, -1), axis=-1)          # (B,)
-        offs = j[:, None] + 1 + jnp.arange(W - 1)[None, :]         # (B, W-1)
-        cont = tokens[rows, jnp.minimum(offs, L - 1)]
-        # guesses past the committed region are stale buffer: fall back
-        usable = (offs < emitted[:, None]) & any_hit[:, None]
-        return jnp.where(usable, cont, cur_id[:, None])
 
     def cond(state):
         it, _, _, _, _, _, done, _ = state
@@ -250,8 +291,10 @@ def lookup_generate(
     def body(state):
         it, cache, cur_id, cur_pos, emitted, mask, done, tokens = state
 
-        # 1. Draft: current token + W-1 lookup guesses.
-        guesses = draft_from_history(tokens, emitted, cur_id)      # (B, W-1)
+        # 1. Draft: current token + W-1 lookup guesses (generated
+        #    history first, prompt hints as the cold-start fallback).
+        guesses = lookup_draft(tokens, emitted, cur_id, W,
+                               hint_ids, hint_mask)                # (B, W-1)
         draft_ids = jnp.concatenate([cur_id[:, None], guesses], axis=1)
 
         # 2. One model pass over the W draft positions (per-row columns).

@@ -46,6 +46,11 @@ class Request:
     # the encoder pass itself.
     prefix_embeds: np.ndarray
     prefix_mask: np.ndarray     # (S,) — small; stays host-side
+    # Optional (H,) prompt-lookup hint stream (valid token ids only):
+    # spec_width>1 drafting falls back to these before any history
+    # exists — moment-retrieval outputs echo timestamp/duration digits
+    # already present in the prompt text.  Drafts are always verified.
+    hint_ids: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -152,6 +157,7 @@ class ContinuousBatcher:
         self.dlen = jnp.full((max_slots,), self.slot_prefix, jnp.int32)
         self.dcur = jnp.zeros((max_slots,), jnp.int32)
         self.emitted: list[list[int]] = [[] for _ in range(max_slots)]
+        self.hints: list[Optional[np.ndarray]] = [None] * max_slots
         self.slot_request: list[Optional[int]] = [None] * max_slots
         self.active = np.zeros((max_slots,), bool)
 
@@ -372,6 +378,10 @@ class ContinuousBatcher:
         for request, slot in zip(take, slots):
             slot = int(slot)
             self.emitted[slot] = []
+            self.hints[slot] = (
+                np.asarray(request.hint_ids)
+                if request.hint_ids is not None else None
+            )
             self.slot_request[slot] = request.request_id
             self.active[slot] = True
         return n
@@ -434,9 +444,10 @@ class ContinuousBatcher:
         return completions
 
     def _draft_for_slot(self, i: int) -> list[int]:
-        """(W,) draft: the pending token plus W-1 bigram-lookup guesses
-        from this slot's emitted history (fallback: repeat — harmless,
-        drafts are verified)."""
+        """(W,) draft: the pending token plus W-1 lookup guesses — from
+        this slot's emitted history first, then the request's prompt-
+        lookup hint stream (outputs echo timestamp digits already in the
+        prompt), then repeat (harmless: drafts are verified)."""
         W = self.spec_width
         cur = int(self.cur_ids[i])
         hist = self.emitted[i]
@@ -445,6 +456,12 @@ class ContinuousBatcher:
             if hist[j] == cur:
                 guesses = hist[j + 1 : j + W]
                 break
+        if not guesses and self.hints[i] is not None:
+            hints = self.hints[i]
+            hits = np.where(hints[:-1] == cur)[0]
+            if len(hits):
+                j = int(hits[-1])
+                guesses = hints[j + 1 : j + W].tolist()
         draft = [cur] + list(guesses)
         draft += [cur] * (W - len(draft))
         return draft

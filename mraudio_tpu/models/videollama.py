@@ -293,10 +293,14 @@ class VideoLLaMA:
         embeds = jnp.concatenate([prefix, prompt_emb], axis=1)
         mask = jnp.concatenate([pmask, jnp.asarray(enc.attention_mask)], axis=1)
         if cfg.lookup_spec >= 2:
+            # prompt-lookup hints: the prompt token ids (outputs echo
+            # digits/phrases from the query; drafts are always verified)
             return lookup_generate(
                 self.llm, {"params": params["llm"]}, embeds, mask,
                 cfg.max_new_tokens, self.llm_tokenizer.eos_token_id,
                 spec_width=cfg.lookup_spec,
+                hint_ids=jnp.asarray(enc.input_ids),
+                hint_mask=jnp.asarray(enc.attention_mask),
             )
         return greedy_generate(
             self.llm, {"params": params["llm"]}, embeds, mask,

@@ -591,10 +591,22 @@ class XInstructBLIP:
                 grammar["dist_next"], spec_width=self.cfg.spec_width,
             )
         elif self.cfg.lookup_spec >= 2:
+            # Prompt-lookup hint stream: the timestamp/duration/query
+            # token ids already in this batch's text plane — real span
+            # outputs echo their digits, so drafts hit before any
+            # generated history exists (exactness never depends on it).
+            b = prompt_ids.shape[0]
+            hint_ids = jnp.concatenate(
+                [ts_ids.reshape(b, -1), dur_ids, prompt_ids], axis=1
+            )
+            hint_mask = jnp.concatenate(
+                [ts_mask.reshape(b, -1), dur_mask, prompt_mask], axis=1
+            )
             tokens = lookup_generate(
                 self.llm, {"params": params["llm"]}, embeds, mask,
                 self.cfg.max_new_tokens, self.llm_tokenizer.eos_token_id,
                 spec_width=self.cfg.lookup_spec,
+                hint_ids=hint_ids, hint_mask=hint_mask,
             )
         else:
             tokens = greedy_generate(

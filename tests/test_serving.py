@@ -392,6 +392,57 @@ def test_spec_engine_token_identical(setup, w):
         assert base[rid] == spec[rid], rid
 
 
+def test_spec_engine_hints_token_identical(setup):
+    """Per-request prompt-lookup hint streams change drafting only:
+    completions stay identical to spec_width=1 whatever the hints say."""
+    model, params, s, d = setup
+    prefixes = _make_prefixes(4, s, d, seed=21)
+    rng = np.random.default_rng(3)
+
+    def run(spec, with_hints):
+        engine = ContinuousBatcher(
+            model, params, prefix_len=s, max_new_tokens=8, eos_id=2,
+            max_slots=2, spec_width=spec,
+        )
+        pending = [
+            Request(i, e, m,
+                    hint_ids=(rng.integers(0, 32, 16).astype(np.int32)
+                              if with_hints else None))
+            for i, (e, m) in enumerate(prefixes)
+        ]
+        done = {}
+        while pending or engine.active.any():
+            while pending and engine.free_slots():
+                n = engine.submit_many(pending[: engine.free_slots()])
+                pending = pending[n:]
+            for c in engine.step():
+                done[c.request_id] = list(c.token_ids)
+        return done
+
+    base = run(1, False)
+    assert run(4, True) == base
+    assert run(4, False) == base
+
+
+def test_draft_for_slot_hint_fallback(setup):
+    """Host-side drafting: history match wins; the hint stream serves the
+    cold start; repeat-cur otherwise."""
+    model, params, s, d = setup
+    engine = ContinuousBatcher(
+        model, params, prefix_len=s, max_new_tokens=8, eos_id=2,
+        max_slots=1, spec_width=4,
+    )
+    engine.cur_ids[0] = 5
+    engine.hints[0] = np.asarray([1, 5, 9, 8, 7], np.int32)
+    engine.emitted[0] = []
+    assert engine._draft_for_slot(0) == [5, 9, 8, 7]    # cold start: hints
+    engine.emitted[0] = [5, 6, 7]
+    assert engine._draft_for_slot(0) == [5, 6, 7, 5]    # history wins
+    engine.hints[0] = np.asarray([1, 2, 3], np.int32)
+    engine.emitted[0] = []
+    assert engine._draft_for_slot(0) == [5, 5, 5, 5]    # no source: repeat
+
+
 def test_spec_engine_with_int8_kv(setup):
     model, params, s, d = setup
     cfg_q = model.cfg.replace(kv_quant="int8")
