@@ -499,6 +499,7 @@ def run_serve(profile: str = "serve") -> dict:
     spec = int(env("SPEC", "1"))
     depth = int(env("PIPELINE", "2"))
     mode = env("MODE", "inline")
+    encode_batch = int(env("ENCODE_BATCH", "0")) or mpb or slots
 
     model_cfg, data_cfg, _, _ = make_profile("tiny" if tiny else "full")
     if kv_keep:
@@ -521,21 +522,23 @@ def run_serve(profile: str = "serve") -> dict:
 
     if mode == "inline":
         stream = encode_request_stream(model, params, ds, limit=n_requests,
-                                       device_embeds=True)
+                                       device_embeds=True,
+                                       encode_batch=encode_batch)
         _, stats = serve(
             model, params, None, slots, model_cfg.max_new_tokens,
             max_prefill_batch=mpb, spec_width=spec, pipeline_depth=depth,
-            request_stream=stream,
+            request_stream=stream, encode_batch=encode_batch,
         )
     else:
         t0 = _time.time()
         reqs = encode_requests(model, params, ds, limit=n_requests,
-                               device_embeds=False)
+                               device_embeds=False,
+                               encode_batch=encode_batch)
         encode_s = _time.time() - t0
         _, stats = serve(
             model, params, reqs, slots, model_cfg.max_new_tokens,
             max_prefill_batch=mpb, spec_width=spec, pipeline_depth=depth,
-            encode_s=encode_s,
+            encode_s=encode_s, encode_batch=encode_batch,
         )
     result = {
         "profile": profile,

@@ -27,18 +27,29 @@ logger = logging.getLogger("mraudio_tpu")
 
 
 def encode_request_stream(model, params, dataset, limit=None,
-                          device_embeds=True):
+                          device_embeds=True, encode_batch=1):
     """Per-annotation prefix embeds via the model's fused encoder pass,
     yielded one at a time so the serve loop can interleave encodes with
-    in-flight decode dispatches (``--encode-mode inline``)."""
+    in-flight decode dispatches (``--encode-mode inline``).
+
+    ``encode_batch`` > 1 runs the encoder pass over groups of requests in
+    ONE fused dispatch — the encoder is MXU-bound, so a B-wide pass costs
+    far less than B B=1 passes plus their per-dispatch host round trips.
+    Measured at QVH full size the B=1 encode is the serving pipeline's
+    dominant cost (~13 s/request inline vs ~1.7 s/clip amortized in the
+    B=3 offline driver).  Short tail groups are padded by repeating the
+    last sample (one compiled shape); padded outputs are discarded."""
     import jax.numpy as jnp
 
     from mraudio_tpu.data.dataset import collate
     from mraudio_tpu.infer.serving import Request
 
     n = len(dataset) if limit is None else min(limit, len(dataset))
-    for i in range(n):
-        batch = collate([dataset.get(i)], 1)
+    eb = max(1, encode_batch)
+    for g0 in range(0, n, eb):
+        idx = list(range(g0, min(g0 + eb, n)))
+        padded = idx + [idx[-1]] * (eb - len(idx))
+        batch = collate([dataset.get(i) for i in padded], len(padded))
         text = model.prepare_text(
             batch.text_input, np.asarray(batch.timestamps), batch.duration
         )
@@ -51,46 +62,51 @@ def encode_request_stream(model, params, dataset, limit=None,
             jnp.asarray(text.prompt_ids), jnp.asarray(text.prompt_mask),
             n_frms=batch.timestamps.shape[1],
         )
-        # device_embeds=True: embeds stay DEVICE-resident (the engine
-        # stacks them on device at admission) — reading the (S, 4096) bf16
-        # prefix back to host and re-uploading it at prefill costs ~8 s/
-        # request through a remote tunnel, more than the encoder pass
-        # itself.  The cost is HBM: each buffered request holds its ~44 MB
-        # (QVH full size) prefix on the chip, so this is the INLINE-mode
-        # default (at most one admission batch is ever buffered).
-        # device_embeds=False: pull the prefix to host — upfront mode
-        # buffers EVERY request before serving starts, and N device-
-        # resident prefixes next to the prefill temps OOM a 16 GB chip at
-        # full size (measured at N=10); host-resident is the memory-safe
-        # upfront default, paying one extra upload per admission.
-        emb = embeds[0] if device_embeds else np.asarray(embeds[0])
-        # prompt-lookup hint stream for speculative drafting: the valid
-        # timestamp/duration/query token ids of this request (host-side
-        # lists — tiny next to the embeds)
-        hints = np.concatenate([
-            np.asarray(text.ts_ids).reshape(-1)[
-                np.asarray(text.ts_mask).reshape(-1) > 0],
-            np.asarray(text.dur_ids)[0][np.asarray(text.dur_mask)[0] > 0],
-            np.asarray(text.prompt_ids)[0][
-                np.asarray(text.prompt_mask)[0] > 0],
-        ])
-        logger.info("encoded request %d/%d", i + 1, n)
-        yield (Request(i, emb, np.asarray(mask[0]), hint_ids=hints),
-               dataset.annotation[i])
+        mask_h = np.asarray(mask)
+        for k, i in enumerate(idx):
+            # device_embeds=True: embeds stay DEVICE-resident (the engine
+            # stacks them on device at admission) — reading the (S, 4096)
+            # bf16 prefix back to host and re-uploading it at prefill
+            # costs ~8 s/request through a remote tunnel, more than the
+            # encoder pass itself.  The cost is HBM: each buffered request
+            # holds its ~44 MB (QVH full size) prefix on the chip, so this
+            # is the INLINE-mode default (at most one admission batch is
+            # ever buffered).
+            # device_embeds=False: pull the prefix to host — upfront mode
+            # buffers EVERY request before serving starts, and N device-
+            # resident prefixes next to the prefill temps OOM a 16 GB
+            # chip at full size (measured at N=10); host-resident is the
+            # memory-safe upfront default, one extra upload per admission.
+            emb = embeds[k] if device_embeds else np.asarray(embeds[k])
+            # prompt-lookup hint stream for speculative drafting: the
+            # valid timestamp/duration/query token ids of this request
+            # (host-side lists — tiny next to the embeds)
+            hints = np.concatenate([
+                np.asarray(text.ts_ids)[k].reshape(-1)[
+                    np.asarray(text.ts_mask)[k].reshape(-1) > 0],
+                np.asarray(text.dur_ids)[k][np.asarray(text.dur_mask)[k] > 0],
+                np.asarray(text.prompt_ids)[k][
+                    np.asarray(text.prompt_mask)[k] > 0],
+            ])
+            logger.info("encoded request %d/%d", i + 1, n)
+            yield (Request(i, emb, mask_h[k], hint_ids=hints),
+                   dataset.annotation[i])
 
 
-def encode_requests(model, params, dataset, limit=None, device_embeds=False):
+def encode_requests(model, params, dataset, limit=None, device_embeds=False,
+                    encode_batch=1):
     """Upfront (fully pre-encoded) request list — host-resident embeds by
     default (see ``encode_request_stream`` on the HBM trade)."""
     return list(encode_request_stream(
-        model, params, dataset, limit=limit, device_embeds=device_embeds
+        model, params, dataset, limit=limit, device_embeds=device_embeds,
+        encode_batch=encode_batch,
     ))
 
 
 def serve(model, params, requests, max_slots: int, max_new_tokens: int,
           max_prefill_batch: int = 0, steps_per_dispatch: int = 1,
           spec_width: int = 1, pipeline_depth: int = 2,
-          encode_s: float = 0.0, request_stream=None):
+          encode_s: float = 0.0, request_stream=None, encode_batch: int = 1):
     """Run the stream through the engine; returns (records, stats).
 
     ``requests`` is a pre-encoded list (upfront mode: encoder time is
@@ -212,6 +228,7 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         # inline mode: encodes happen inside the loop (overlapped with
         # decode), so elapsed already includes them and both rates match.
         "encode_mode": "inline" if inline else "upfront",
+        "encode_batch": encode_batch,
         "encode_s": round(
             (inline_encode_s + prime_s) if inline else encode_s, 2
         ),
@@ -285,6 +302,13 @@ def main(argv=None):
                         "one admission batch ahead, overlapping encoder "
                         "dispatches with decode — the quoted requests/sec "
                         "then includes the whole per-request pipeline")
+    parser.add_argument("--encode-batch", type=int, default=0,
+                        help="requests per fused encoder dispatch (0 = "
+                        "match --max-prefill-batch).  The encoder is MXU-"
+                        "bound: a B-wide pass costs far less than B B=1 "
+                        "passes + their dispatch round trips — at QVH "
+                        "full size the B=1 encode dominates the inline "
+                        "pipeline (~13 s/request)")
     parser.add_argument("--embeds", default="auto",
                         choices=["auto", "host", "device"],
                         help="where encoded prefix embeds live between "
@@ -327,16 +351,19 @@ def main(argv=None):
     inline = args.encode_mode == "inline"
     device_embeds = (args.embeds == "device"
                      or (args.embeds == "auto" and inline))
+    encode_batch = args.encode_batch or args.max_prefill_batch or args.slots
     requests, encode_s = None, 0.0
     if not inline:
         t_enc = time.time()
         requests = encode_requests(model, params, dataset, limit=limit,
-                                   device_embeds=device_embeds)
+                                   device_embeds=device_embeds,
+                                   encode_batch=encode_batch)
         encode_s = time.time() - t_enc
 
     def run(slots):
         stream = (encode_request_stream(model, params, dataset, limit=limit,
-                                        device_embeds=device_embeds)
+                                        device_embeds=device_embeds,
+                                        encode_batch=encode_batch)
                   if inline else None)
         return serve(model, params, requests, slots,
                      model.cfg.max_new_tokens,
@@ -344,7 +371,8 @@ def main(argv=None):
                      steps_per_dispatch=args.steps_per_dispatch,
                      spec_width=args.spec_width,
                      pipeline_depth=args.pipeline_depth,
-                     encode_s=encode_s, request_stream=stream)
+                     encode_s=encode_s, request_stream=stream,
+                     encode_batch=encode_batch)
 
     if args.sweep_slots:
         sweep = []

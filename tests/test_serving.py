@@ -309,6 +309,43 @@ def test_serve_cli_embeds_flag(tmp_path):
     assert run("host") == run("device")
 
 
+def test_serve_cli_encode_batch(tmp_path):
+    """Batched encoder dispatches (--encode-batch B) must be record-
+    identical to per-request encodes, including the repeated-sample
+    padding of a short tail group (5 requests, B=3 -> groups 3 + 2+pad)."""
+    import json as _json
+
+    from mraudio_tpu.cli.serve import main
+
+    ann = str(tmp_path / "ann.jsonl")
+    with open(ann, "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({
+                "vid": f"v{i}", "qid": i, "query": "a person jumps",
+                "duration": 60, "relevant_windows": [[5, 12]],
+            }) + "\n")
+
+    def run(eb, mode):
+        out = str(tmp_path / f"serve_eb{eb}_{mode}.jsonl")
+        main([
+            "--annotation-file", ann,
+            "--video-source", "synthetic",
+            "--model-size", "tiny",
+            "--n-frms", "4",
+            "--slots", "2",
+            "--encode-batch", str(eb),
+            "--encode-mode", mode,
+            "--output-file", out,
+        ])
+        strip = lambda r: {k: v for k, v in r.items() if k != "latency_s"}  # noqa: E731
+        return sorted((strip(_json.loads(l)) for l in open(out)),
+                      key=lambda r: r["qid"])
+
+    base = run(1, "upfront")
+    assert run(3, "upfront") == base
+    assert run(3, "inline") == base
+
+
 def test_bench_serve_tiny_profile(tmp_path, monkeypatch):
     """The bench serving profile (inline mode, tiny config) produces the
     stats the headline run embeds, and caches them."""
