@@ -301,8 +301,11 @@ class XInstructBLIPConfig(_ConfigBase):
     spec_width: int = 4
     # Self-speculative decoding for the UNCONSTRAINED path: draft
     # lookup_spec-1 tokens per step by n-gram lookup over the tokens
-    # already generated, verify them against the model's own argmax in
-    # ONE multi-position pass (infer/generate.py::lookup_generate).
+    # already generated — falling back to the prompt's timestamp/
+    # duration/query token ids (prompt-lookup: span outputs echo digits
+    # that appear verbatim in the interleave) — then verify against the
+    # model's own argmax in ONE multi-position pass
+    # (infer/generate.py::lookup_generate / lookup_draft).
     # Bit-identical tokens to plain greedy (every committed token is the
     # model's argmax at its position); decode is HBM-bound, so each
     # accepted draft token removes one full weight+KV streaming pass.
