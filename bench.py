@@ -474,7 +474,8 @@ def run_serve(profile: str = "serve") -> dict:
     docs/BENCHMARKS.md "Serving").  requests/sec then covers everything a
     deployment pays per request: preprocess, encoders, prefill, decode.
     Knobs (env): MRAUDIO_BENCH_SERVE_{REQUESTS,SLOTS,MPB,KV_KEEP,SPEC,
-    PIPELINE,MODE}.  Like the train profile, results are cached in
+    STEPS,PIPELINE,MODE,ENCODE_BATCH,AHEAD,REPEAT}.  Like the train
+    profile, results are cached in
     ``.bench_serve_cache.json`` so the routine ~10-min benchmark run
     embeds them without re-measuring; refresh with
     ``MRAUDIO_BENCH_PROFILE=serve python bench.py``."""
@@ -497,9 +498,11 @@ def run_serve(profile: str = "serve") -> dict:
     mpb = int(env("MPB", "0" if tiny else "2"))
     kv_keep = int(env("KV_KEEP", "0" if tiny else "1784"))
     spec = int(env("SPEC", "1"))
+    steps = int(env("STEPS", "1"))
     depth = int(env("PIPELINE", "2"))
     mode = env("MODE", "inline")
     encode_batch = int(env("ENCODE_BATCH", "0")) or mpb or slots
+    encode_ahead = int(env("AHEAD", "-1"))
 
     model_cfg, data_cfg, _, _ = make_profile("tiny" if tiny else "full")
     if kv_keep:
@@ -529,8 +532,9 @@ def run_serve(profile: str = "serve") -> dict:
             _, stats = serve(
                 model, params, None, slots, model_cfg.max_new_tokens,
                 max_prefill_batch=mpb, spec_width=spec,
+                steps_per_dispatch=steps,
                 pipeline_depth=depth, request_stream=stream,
-                encode_batch=encode_batch,
+                encode_batch=encode_batch, encode_ahead=encode_ahead,
             )
         else:
             t0 = _time.time()
@@ -541,6 +545,7 @@ def run_serve(profile: str = "serve") -> dict:
             _, stats = serve(
                 model, params, reqs, slots, model_cfg.max_new_tokens,
                 max_prefill_batch=mpb, spec_width=spec,
+                steps_per_dispatch=steps,
                 pipeline_depth=depth, encode_s=encode_s,
                 encode_batch=encode_batch,
             )

@@ -103,10 +103,73 @@ def encode_requests(model, params, dataset, limit=None, device_embeds=False,
     ))
 
 
+class _PrefetchedStream:
+    """Encode-ahead worker for inline mode.
+
+    The inline encode's cost is mostly HOST-side (sample synthesis/decode,
+    tokenization, the ~11 MB/request upload through a remote tunnel) and
+    runs serially inside the serve loop, while the loop itself spends most
+    of its time BLOCKED on device round trips (prefill dispatches, decode
+    token readbacks).  A single worker thread pulls the encode generator
+    ahead into a bounded queue, so that host work happens while the main
+    thread waits on the device — on the measured full-size config the loop
+    pays ~58 s of prefill+decode blocking per 10 requests that can hide
+    encode time.  Order-preserving (one worker, FIFO queue), so records
+    are identical to the synchronous stream.
+
+    ``ahead`` bounds the queue in REQUESTS; with device-resident embeds
+    each queued request holds its prefix on the chip (~44 MB bf16 at QVH
+    full size), so the ceiling is queue + one in-flight encode group +
+    the loop's pending batch ≈ ``ahead + 2·encode_batch`` prefixes.
+
+    ``busy_s`` accumulates the worker's wall time per item — the encode
+    cost actually paid, vs the loop's blocking wait which ``serve``
+    reports as ``encode_s`` (their difference is the overlap won).
+    """
+
+    _DONE = object()
+
+    def __init__(self, stream, ahead: int):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=max(1, ahead))
+        self.busy_s = 0.0
+        self._err = None
+
+        def work():
+            try:
+                while True:
+                    t0 = time.time()
+                    item = next(stream, self._DONE)
+                    self.busy_s += time.time() - t0
+                    self._q.put(item)
+                    if item is self._DONE:
+                        return
+            except BaseException as e:  # surfaced on the consumer side
+                self._err = e
+                self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
 def serve(model, params, requests, max_slots: int, max_new_tokens: int,
           max_prefill_batch: int = 0, steps_per_dispatch: int = 1,
           spec_width: int = 1, pipeline_depth: int = 2,
-          encode_s: float = 0.0, request_stream=None, encode_batch: int = 1):
+          encode_s: float = 0.0, request_stream=None, encode_batch: int = 1,
+          encode_ahead: int = -1):
     """Run the stream through the engine; returns (records, stats).
 
     ``requests`` is a pre-encoded list (upfront mode: encoder time is
@@ -117,13 +180,27 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
     dispatches and the quoted requests/sec includes everything a
     production deployment pays.  Device-resident prefix embeds make the
     encode-ahead buffer cheap (~44 MB bf16/request at QVH full size, no
-    host round trip)."""
+    host round trip).
+
+    ``encode_ahead``: inline encode-ahead queue depth in requests,
+    serviced by a worker thread (``_PrefetchedStream``) so host-side
+    encode work overlaps the loop's device-blocked waits.  -1 = one
+    encode group (``encode_batch``); 0 = synchronous (the worker-less
+    pre-round-3 loop).  Record-identical either way."""
     from mraudio_tpu.infer.serving import ContinuousBatcher
     from mraudio_tpu.text.postprocess import moment_str_to_list, post_process
 
     pending = list(requests) if requests else []
     ann_by_id = {req.request_id: ann for req, ann in pending}
     inline = request_stream is not None
+    prefetch = None
+    if inline:
+        if encode_ahead < 0:
+            encode_ahead = encode_batch
+        if encode_ahead:
+            request_stream = prefetch = _PrefetchedStream(
+                request_stream, encode_ahead
+            )
     prime_s = 0.0
     if inline:
         # prime one request so the engine can size itself; this encode
@@ -229,9 +306,15 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         # decode), so elapsed already includes them and both rates match.
         "encode_mode": "inline" if inline else "upfront",
         "encode_batch": encode_batch,
+        "encode_ahead": encode_ahead if inline else 0,
+        # inline: time the serve loop BLOCKED on encodes (with encode-
+        # ahead this is what's left after overlap; the worker's full cost
+        # is encode_busy_s).  upfront: the separately-run encoder pass.
         "encode_s": round(
             (inline_encode_s + prime_s) if inline else encode_s, 2
         ),
+        **({"encode_busy_s": round(prefetch.busy_s, 2)}
+           if prefetch is not None else {}),
         "requests_per_sec_incl_encode": (
             round(len(records)
                   / (elapsed + (0.0 if inline else encode_s)), 4)
@@ -309,6 +392,14 @@ def main(argv=None):
                         "passes + their dispatch round trips — at QVH "
                         "full size the B=1 encode dominates the inline "
                         "pipeline (~13 s/request)")
+    parser.add_argument("--encode-ahead", type=int, default=-1,
+                        help="inline encode-ahead queue depth in requests, "
+                        "filled by a worker thread so host-side encode "
+                        "work (sample decode, tokenize, upload) overlaps "
+                        "the loop's device-blocked waits.  -1 = one "
+                        "encode group; 0 = synchronous.  Each queued "
+                        "request holds its device-resident prefix "
+                        "(~44 MB at QVH full size)")
     parser.add_argument("--embeds", default="auto",
                         choices=["auto", "host", "device"],
                         help="where encoded prefix embeds live between "
@@ -372,7 +463,8 @@ def main(argv=None):
                      spec_width=args.spec_width,
                      pipeline_depth=args.pipeline_depth,
                      encode_s=encode_s, request_stream=stream,
-                     encode_batch=encode_batch)
+                     encode_batch=encode_batch,
+                     encode_ahead=args.encode_ahead)
 
     if args.sweep_slots:
         sweep = []

@@ -346,6 +346,67 @@ def test_serve_cli_encode_batch(tmp_path):
     assert run(3, "inline") == base
 
 
+def test_serve_cli_encode_ahead(tmp_path):
+    """Threaded encode-ahead (--encode-ahead N: a worker thread keeps the
+    inline encode queue full so host-side encode work overlaps the loop's
+    device-blocked waits) must be record-identical to the synchronous
+    inline loop (--encode-ahead 0), including with batched encodes."""
+    import json as _json
+
+    from mraudio_tpu.cli.serve import main
+
+    ann = str(tmp_path / "ann.jsonl")
+    with open(ann, "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({
+                "vid": f"v{i}", "qid": i, "query": "a person reads",
+                "duration": 60, "relevant_windows": [[5, 12]],
+            }) + "\n")
+
+    def run(ahead, eb=1):
+        out = str(tmp_path / f"serve_ahead{ahead}_eb{eb}.jsonl")
+        stats = main([
+            "--annotation-file", ann,
+            "--video-source", "synthetic",
+            "--model-size", "tiny",
+            "--n-frms", "4",
+            "--slots", "2",
+            "--encode-mode", "inline",
+            "--encode-batch", str(eb),
+            "--encode-ahead", str(ahead),
+            "--output-file", out,
+        ])
+        strip = lambda r: {k: v for k, v in r.items() if k != "latency_s"}  # noqa: E731
+        return stats, sorted((strip(_json.loads(l)) for l in open(out)),
+                             key=lambda r: r["qid"])
+
+    stats_sync, base = run(0)
+    assert "encode_busy_s" not in stats_sync
+    stats_ahead, ahead = run(2)
+    assert ahead == base
+    assert stats_ahead["encode_ahead"] == 2
+    # the worker's full cost is recorded; the loop's blocking wait can
+    # only be <= it (overlap never invents encode time)
+    assert stats_ahead["encode_busy_s"] >= 0
+    _, grouped = run(-1, eb=3)   # default ahead = one encode group
+    assert grouped == base
+
+
+def test_prefetched_stream_propagates_errors():
+    """An exception inside the encode worker surfaces on the consumer
+    thread instead of hanging the serve loop."""
+    from mraudio_tpu.cli.serve import _PrefetchedStream
+
+    def boom():
+        yield 1
+        raise RuntimeError("encode failed")
+
+    stream = _PrefetchedStream(boom(), ahead=2)
+    assert next(stream) == 1
+    with pytest.raises(RuntimeError, match="encode failed"):
+        next(stream)
+
+
 def test_bench_serve_tiny_profile(tmp_path, monkeypatch):
     """The bench serving profile (inline mode, tiny config) produces the
     stats the headline run embeds, and caches them."""
