@@ -502,7 +502,7 @@ def run_serve(profile: str = "serve") -> dict:
     depth = int(env("PIPELINE", "2"))
     mode = env("MODE", "inline")
     encode_batch = int(env("ENCODE_BATCH", "0")) or mpb or slots
-    encode_ahead = int(env("AHEAD", "-1"))
+    encode_ahead = int(env("AHEAD", "1"))  # host-stage groups prefetched
 
     model_cfg, data_cfg, _, _ = make_profile("tiny" if tiny else "full")
     if kv_keep:
@@ -528,19 +528,21 @@ def run_serve(profile: str = "serve") -> dict:
             stream = encode_request_stream(
                 model, params, ds, limit=n_requests,
                 device_embeds=True, encode_batch=encode_batch,
+                host_ahead=encode_ahead,
             )
             _, stats = serve(
                 model, params, None, slots, model_cfg.max_new_tokens,
                 max_prefill_batch=mpb, spec_width=spec,
                 steps_per_dispatch=steps,
                 pipeline_depth=depth, request_stream=stream,
-                encode_batch=encode_batch, encode_ahead=encode_ahead,
+                encode_batch=encode_batch,
             )
         else:
             t0 = _time.time()
             reqs = encode_requests(model, params, ds, limit=n_requests,
                                    device_embeds=False,
-                                   encode_batch=encode_batch)
+                                   encode_batch=encode_batch,
+                                   host_ahead=encode_ahead)
             encode_s = _time.time() - t0
             _, stats = serve(
                 model, params, reqs, slots, model_cfg.max_new_tokens,

@@ -27,7 +27,8 @@ logger = logging.getLogger("mraudio_tpu")
 
 
 def encode_request_stream(model, params, dataset, limit=None,
-                          device_embeds=True, encode_batch=1):
+                          device_embeds=True, encode_batch=1,
+                          host_ahead=1):
     """Per-annotation prefix embeds via the model's fused encoder pass,
     yielded one at a time so the serve loop can interleave encodes with
     in-flight decode dispatches (``--encode-mode inline``).
@@ -38,7 +39,18 @@ def encode_request_stream(model, params, dataset, limit=None,
     Measured at QVH full size the B=1 encode is the serving pipeline's
     dominant cost (~13 s/request inline vs ~1.7 s/clip amortized in the
     B=3 offline driver).  Short tail groups are padded by repeating the
-    last sample (one compiled shape); padded outputs are discarded."""
+    last sample (one compiled shape); padded outputs are discarded.
+
+    ``host_ahead``: encode groups whose HOST stage (sample synthesis/
+    decode, collate, tokenize — GIL-bound CPU work) a worker thread
+    prepares ahead, so it overlaps the serve loop's device-blocked waits.
+    The DEVICE stage (upload + encoder dispatch) stays in the consumer:
+    prefetching whole encoded requests would buffer extra ~44 MB
+    device-resident prefixes, and the full-size deployable config sits
+    close enough to the 16 GB line that even ONE extra prefix OOMs the
+    decode dispatch (measured) — host batches are plain numpy and queue
+    safely in host RAM.  0 = fully synchronous.  Record-identical either
+    way (single worker, FIFO)."""
     import jax.numpy as jnp
 
     from mraudio_tpu.data.dataset import collate
@@ -46,13 +58,22 @@ def encode_request_stream(model, params, dataset, limit=None,
 
     n = len(dataset) if limit is None else min(limit, len(dataset))
     eb = max(1, encode_batch)
-    for g0 in range(0, n, eb):
-        idx = list(range(g0, min(g0 + eb, n)))
-        padded = idx + [idx[-1]] * (eb - len(idx))
-        batch = collate([dataset.get(i) for i in padded], len(padded))
-        text = model.prepare_text(
-            batch.text_input, np.asarray(batch.timestamps), batch.duration
-        )
+
+    def host_batches():
+        for g0 in range(0, n, eb):
+            idx = list(range(g0, min(g0 + eb, n)))
+            padded = idx + [idx[-1]] * (eb - len(idx))
+            batch = collate([dataset.get(i) for i in padded], len(padded))
+            text = model.prepare_text(
+                batch.text_input, np.asarray(batch.timestamps),
+                batch.duration,
+            )
+            yield idx, batch, text
+
+    groups = (_PrefetchedStream(host_batches(), host_ahead)
+              if host_ahead > 0 else host_batches())
+
+    def device_stage(idx, batch, text):
         embeds, mask = model._prefix_and_prompt(
             params,
             jnp.asarray(batch.video), jnp.asarray(batch.audio),
@@ -92,38 +113,67 @@ def encode_request_stream(model, params, dataset, limit=None,
             yield (Request(i, emb, mask_h[k], hint_ids=hints),
                    dataset.annotation[i])
 
+    def gen():
+        for idx, batch, text in groups:
+            yield from device_stage(idx, batch, text)
+
+    return _EncodeStream(
+        gen(),
+        groups if isinstance(groups, _PrefetchedStream) else None,
+        host_ahead if host_ahead > 0 else 0,
+    )
+
+
+class _EncodeStream:
+    """Iterator of ``(Request, ann)`` that carries its host-prefetch
+    accounting (``host_ahead`` groups ahead; ``host_busy_s`` = worker
+    wall time) so ``serve`` can report the overlap in its stats."""
+
+    def __init__(self, gen, prefetch, host_ahead: int):
+        self._gen = gen
+        self._prefetch = prefetch
+        self.host_ahead = host_ahead
+
+    @property
+    def host_busy_s(self) -> float:
+        return self._prefetch.busy_s if self._prefetch is not None else 0.0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return next(self._gen)
+
 
 def encode_requests(model, params, dataset, limit=None, device_embeds=False,
-                    encode_batch=1):
+                    encode_batch=1, host_ahead=1):
     """Upfront (fully pre-encoded) request list — host-resident embeds by
-    default (see ``encode_request_stream`` on the HBM trade)."""
+    default (see ``encode_request_stream`` on the HBM trade).  The host-
+    stage prefetch helps here too: group k+1's synthesis/tokenize runs
+    while group k's encoder dispatch blocks."""
     return list(encode_request_stream(
         model, params, dataset, limit=limit, device_embeds=device_embeds,
-        encode_batch=encode_batch,
+        encode_batch=encode_batch, host_ahead=host_ahead,
     ))
 
 
 class _PrefetchedStream:
-    """Encode-ahead worker for inline mode.
+    """Bounded single-worker prefetch over an iterator (FIFO, order-
+    preserving; exceptions surface on the consumer side).
 
-    The inline encode's cost is mostly HOST-side (sample synthesis/decode,
-    tokenization, the ~11 MB/request upload through a remote tunnel) and
-    runs serially inside the serve loop, while the loop itself spends most
-    of its time BLOCKED on device round trips (prefill dispatches, decode
-    token readbacks).  A single worker thread pulls the encode generator
-    ahead into a bounded queue, so that host work happens while the main
-    thread waits on the device — on the measured full-size config the loop
-    pays ~58 s of prefill+decode blocking per 10 requests that can hide
-    encode time.  Order-preserving (one worker, FIFO queue), so records
-    are identical to the synchronous stream.
+    Used for the encode HOST stage: that work (sample synthesis/decode,
+    tokenization) is GIL-bound CPU time that otherwise runs serially
+    inside the serve loop, while the loop spends most of its time BLOCKED
+    on device round trips (prefill dispatches, decode token readbacks) —
+    the worker lets the two overlap on this 1-core host.  Deliberately
+    NOT used for whole encoded requests: those carry device-resident
+    prefix embeds (~44 MB each at QVH full size), and the full-size
+    deployable config is close enough to the 16 GB line that buffering
+    even one extra prefix OOMs the decode dispatch (measured at
+    ahead=1).  Host batches are plain numpy and queue safely in RAM.
 
-    ``ahead`` bounds the queue in REQUESTS; with device-resident embeds
-    each queued request holds its prefix on the chip (~44 MB bf16 at QVH
-    full size), so the ceiling is queue + one in-flight encode group +
-    the loop's pending batch ≈ ``ahead + 2·encode_batch`` prefixes.
-
-    ``busy_s`` accumulates the worker's wall time per item — the encode
-    cost actually paid, vs the loop's blocking wait which ``serve``
+    ``busy_s`` accumulates the worker's wall time per item — the host-
+    stage cost actually paid, vs the loop's blocking wait which ``serve``
     reports as ``encode_s`` (their difference is the overlap won).
     """
 
@@ -168,8 +218,7 @@ class _PrefetchedStream:
 def serve(model, params, requests, max_slots: int, max_new_tokens: int,
           max_prefill_batch: int = 0, steps_per_dispatch: int = 1,
           spec_width: int = 1, pipeline_depth: int = 2,
-          encode_s: float = 0.0, request_stream=None, encode_batch: int = 1,
-          encode_ahead: int = -1):
+          encode_s: float = 0.0, request_stream=None, encode_batch: int = 1):
     """Run the stream through the engine; returns (records, stats).
 
     ``requests`` is a pre-encoded list (upfront mode: encoder time is
@@ -180,27 +229,17 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
     dispatches and the quoted requests/sec includes everything a
     production deployment pays.  Device-resident prefix embeds make the
     encode-ahead buffer cheap (~44 MB bf16/request at QVH full size, no
-    host round trip).
-
-    ``encode_ahead``: inline encode-ahead queue depth in requests,
-    serviced by a worker thread (``_PrefetchedStream``) so host-side
-    encode work overlaps the loop's device-blocked waits.  -1 = one
-    encode group (``encode_batch``); 0 = synchronous (the worker-less
-    pre-round-3 loop).  Record-identical either way."""
+    host round trip).  Build the stream with
+    ``encode_request_stream(..., host_ahead=N)`` to overlap its host
+    stage with this loop's device-blocked waits (stats report the
+    stream's ``host_ahead``/``host_busy_s``)."""
     from mraudio_tpu.infer.serving import ContinuousBatcher
     from mraudio_tpu.text.postprocess import moment_str_to_list, post_process
 
     pending = list(requests) if requests else []
     ann_by_id = {req.request_id: ann for req, ann in pending}
     inline = request_stream is not None
-    prefetch = None
-    if inline:
-        if encode_ahead < 0:
-            encode_ahead = encode_batch
-        if encode_ahead:
-            request_stream = prefetch = _PrefetchedStream(
-                request_stream, encode_ahead
-            )
+    stream_obj = request_stream
     prime_s = 0.0
     if inline:
         # prime one request so the engine can size itself; this encode
@@ -306,15 +345,15 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         # decode), so elapsed already includes them and both rates match.
         "encode_mode": "inline" if inline else "upfront",
         "encode_batch": encode_batch,
-        "encode_ahead": encode_ahead if inline else 0,
-        # inline: time the serve loop BLOCKED on encodes (with encode-
-        # ahead this is what's left after overlap; the worker's full cost
-        # is encode_busy_s).  upfront: the separately-run encoder pass.
+        "encode_ahead": getattr(stream_obj, "host_ahead", 0) if inline else 0,
+        # inline: time the serve loop BLOCKED on encodes (with host-stage
+        # prefetch this is what's left after overlap; the worker's full
+        # cost is encode_busy_s).  upfront: the separate encoder pass.
         "encode_s": round(
             (inline_encode_s + prime_s) if inline else encode_s, 2
         ),
-        **({"encode_busy_s": round(prefetch.busy_s, 2)}
-           if prefetch is not None else {}),
+        **({"encode_busy_s": round(stream_obj.host_busy_s, 2)}
+           if inline and getattr(stream_obj, "host_ahead", 0) else {}),
         "requests_per_sec_incl_encode": (
             round(len(records)
                   / (elapsed + (0.0 if inline else encode_s)), 4)
@@ -392,14 +431,15 @@ def main(argv=None):
                         "passes + their dispatch round trips — at QVH "
                         "full size the B=1 encode dominates the inline "
                         "pipeline (~13 s/request)")
-    parser.add_argument("--encode-ahead", type=int, default=-1,
-                        help="inline encode-ahead queue depth in requests, "
-                        "filled by a worker thread so host-side encode "
-                        "work (sample decode, tokenize, upload) overlaps "
-                        "the loop's device-blocked waits.  -1 = one "
-                        "encode group; 0 = synchronous.  Each queued "
-                        "request holds its device-resident prefix "
-                        "(~44 MB at QVH full size)")
+    parser.add_argument("--encode-ahead", type=int, default=1,
+                        help="encode HOST-stage groups (sample decode, "
+                        "tokenize) prepared ahead by a worker thread so "
+                        "that CPU work overlaps the loop's device-blocked "
+                        "waits; the device stage (upload + encoder "
+                        "dispatch) stays in the loop, so no extra device-"
+                        "resident prefixes are buffered (one extra "
+                        "prefix OOMs the full-size deployable config — "
+                        "measured).  0 = fully synchronous")
     parser.add_argument("--embeds", default="auto",
                         choices=["auto", "host", "device"],
                         help="where encoded prefix embeds live between "
@@ -448,13 +488,15 @@ def main(argv=None):
         t_enc = time.time()
         requests = encode_requests(model, params, dataset, limit=limit,
                                    device_embeds=device_embeds,
-                                   encode_batch=encode_batch)
+                                   encode_batch=encode_batch,
+                                   host_ahead=args.encode_ahead)
         encode_s = time.time() - t_enc
 
     def run(slots):
         stream = (encode_request_stream(model, params, dataset, limit=limit,
                                         device_embeds=device_embeds,
-                                        encode_batch=encode_batch)
+                                        encode_batch=encode_batch,
+                                        host_ahead=args.encode_ahead)
                   if inline else None)
         return serve(model, params, requests, slots,
                      model.cfg.max_new_tokens,
@@ -463,8 +505,7 @@ def main(argv=None):
                      spec_width=args.spec_width,
                      pipeline_depth=args.pipeline_depth,
                      encode_s=encode_s, request_stream=stream,
-                     encode_batch=encode_batch,
-                     encode_ahead=args.encode_ahead)
+                     encode_batch=encode_batch)
 
     if args.sweep_slots:
         sweep = []

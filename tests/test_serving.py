@@ -347,10 +347,12 @@ def test_serve_cli_encode_batch(tmp_path):
 
 
 def test_serve_cli_encode_ahead(tmp_path):
-    """Threaded encode-ahead (--encode-ahead N: a worker thread keeps the
-    inline encode queue full so host-side encode work overlaps the loop's
-    device-blocked waits) must be record-identical to the synchronous
-    inline loop (--encode-ahead 0), including with batched encodes."""
+    """Host-stage encode prefetch (--encode-ahead N: a worker thread
+    prepares sample decode/tokenize groups ahead so that CPU work
+    overlaps the loop's device-blocked waits; the device stage stays in
+    the loop so NO extra device-resident prefixes are buffered) must be
+    record-identical to the synchronous inline loop (--encode-ahead 0),
+    including with batched encodes."""
     import json as _json
 
     from mraudio_tpu.cli.serve import main
@@ -382,13 +384,14 @@ def test_serve_cli_encode_ahead(tmp_path):
 
     stats_sync, base = run(0)
     assert "encode_busy_s" not in stats_sync
+    assert stats_sync["encode_ahead"] == 0
     stats_ahead, ahead = run(2)
     assert ahead == base
     assert stats_ahead["encode_ahead"] == 2
-    # the worker's full cost is recorded; the loop's blocking wait can
-    # only be <= it (overlap never invents encode time)
+    # the worker's host-stage cost is recorded separately from the loop's
+    # blocking wait (their difference is the overlap won)
     assert stats_ahead["encode_busy_s"] >= 0
-    _, grouped = run(-1, eb=3)   # default ahead = one encode group
+    _, grouped = run(1, eb=3)    # default depth, batched encode groups
     assert grouped == base
 
 
