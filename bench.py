@@ -557,9 +557,25 @@ def run_serve(profile: str = "serve") -> dict:
     # ~6x run to run (measured 110 s -> 713 s for identical work while
     # prefill/decode stayed stable); REPEAT>1 reruns the serve loop
     # in-process (compiles warm after the first) and records the best
-    # run, keeping every run's rate for honesty.
+    # run, keeping every run's rate for honesty.  A run lost to the
+    # allocator's run-to-run RESOURCE_EXHAUSTED variance near the 16 GB
+    # line (the in-loop drain-and-retry usually absorbs it; observed to
+    # escape once) drops that repeat instead of the whole measurement.
+    import gc
+
     repeat = int(env("REPEAT", "1"))
-    all_stats = [one_run() for _ in range(max(1, repeat))]
+    all_stats = []
+    for r in range(max(1, repeat)):
+        try:
+            all_stats.append(one_run())
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            if r == max(1, repeat) - 1 and not all_stats:
+                raise
+            print(f"serve repeat {r} ResourceExhausted; continuing",
+                  file=__import__("sys").stderr)
+            gc.collect()
     stats = max(all_stats, key=lambda st: st["requests_per_sec"])
     result = {
         "profile": profile,

@@ -113,26 +113,39 @@ def encode_request_stream(model, params, dataset, limit=None,
             yield (Request(i, emb, mask_h[k], hint_ids=hints),
                    dataset.annotation[i])
 
-    def gen():
-        for idx, batch, text in groups:
-            yield from device_stage(idx, batch, text)
-
     return _EncodeStream(
-        gen(),
+        groups, device_stage,
         groups if isinstance(groups, _PrefetchedStream) else None,
         host_ahead if host_ahead > 0 else 0,
     )
 
 
 class _EncodeStream:
-    """Iterator of ``(Request, ann)`` that carries its host-prefetch
-    accounting (``host_ahead`` groups ahead; ``host_busy_s`` = worker
-    wall time) so ``serve`` can report the overlap in its stats."""
+    """Iterator of ``(Request, ann)`` over encode groups.
 
-    def __init__(self, gen, prefetch, host_ahead: int):
-        self._gen = gen
+    Carries the host-prefetch accounting (``host_ahead`` groups ahead;
+    ``host_busy_s`` = worker wall time) so ``serve`` can report the
+    overlap in its stats, and owns the encode-OOM backpressure: the
+    full-size deployable config sits near the 16 GB line, and the
+    allocator's run-to-run variance through a remote runtime can
+    RESOURCE_EXHAUSTED an encode dispatch that usually fits next to the
+    in-flight decode state (observed).  When ``serve`` installs
+    ``oom_recover`` (drain every in-flight decode so slot scratch frees),
+    a failed group encode recovers and retries ONCE — turning an
+    allocator hiccup into a logged latency blip, exactly like the
+    offline driver's batch-halving restart.  Static shapes mean the
+    failed dispatch produced nothing, so the retry is output-identical.
+    """
+
+    def __init__(self, groups, device_stage, prefetch, host_ahead: int):
+        from collections import deque
+
+        self._groups = groups
+        self._device_stage = device_stage
         self._prefetch = prefetch
         self.host_ahead = host_ahead
+        self.oom_recover = None
+        self._buf = deque()
 
     @property
     def host_busy_s(self) -> float:
@@ -142,7 +155,22 @@ class _EncodeStream:
         return self
 
     def __next__(self):
-        return next(self._gen)
+        while not self._buf:
+            group = next(self._groups)       # StopIteration ends the stream
+            try:
+                items = list(self._device_stage(*group))
+            except Exception as e:
+                if ("RESOURCE_EXHAUSTED" not in str(e)
+                        or self.oom_recover is None):
+                    raise
+                logger.warning(
+                    "encode dispatch RESOURCE_EXHAUSTED next to in-flight "
+                    "decode state; draining the engine and retrying once"
+                )
+                self.oom_recover()
+                items = list(self._device_stage(*group))
+            self._buf.extend(items)
+        return self._buf.popleft()
 
 
 def encode_requests(model, params, dataset, limit=None, device_embeds=False,
@@ -278,6 +306,18 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
             "raw_out": raw,
             "latency_s": round(time.time() - submit_time[completion.request_id], 4),
         })
+
+    if inline and hasattr(stream_obj, "oom_recover"):
+        # Encode-OOM backpressure (see _EncodeStream): drain every
+        # in-flight decode so its scratch frees, then the stream retries
+        # the failed encode dispatch once.  Completions surfaced during
+        # the drain are handled normally.
+        def _drain_for_encode():
+            while engine.active.any() or engine._inflight:
+                for completion in engine.step():
+                    handle(completion)
+
+        stream_obj.oom_recover = _drain_for_encode
 
     # Stage attribution: a decode "step" is one engine dispatch (1 token,
     # K window tokens, or a W-wide verify pass) INCLUDING its token

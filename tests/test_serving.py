@@ -395,6 +395,57 @@ def test_serve_cli_encode_ahead(tmp_path):
     assert grouped == base
 
 
+def test_encode_stream_oom_backpressure():
+    """An encode group whose device dispatch hits RESOURCE_EXHAUSTED is
+    retried ONCE after the installed recovery callback (serve drains the
+    in-flight decode); without a callback, or for non-OOM errors, the
+    exception propagates."""
+    from mraudio_tpu.cli.serve import _EncodeStream
+
+    calls = {"drained": 0}
+
+    def fail_once_stage():
+        failed = set()
+
+        def device_stage(tag):
+            if tag == "boom" and "boom" not in failed:
+                failed.add("boom")
+                raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+            return [(tag, 0), (tag, 1)]
+
+        return device_stage
+
+    stream = _EncodeStream(
+        iter([("ok",), ("boom",)]), fail_once_stage(), None, 0
+    )
+    assert next(stream) == ("ok", 0)
+    assert next(stream) == ("ok", 1)
+
+    # no recovery installed: the OOM propagates
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        next(stream)
+
+    def drain():
+        calls["drained"] += 1
+
+    stream = _EncodeStream(
+        iter([("boom",), ("ok",)]), fail_once_stage(), None, 0
+    )
+    stream.oom_recover = drain
+    out = list(stream)
+    assert out == [("boom", 0), ("boom", 1), ("ok", 0), ("ok", 1)]
+    assert calls["drained"] == 1                  # drained exactly once
+
+    # non-OOM errors are never swallowed
+    def bad_stage(tag):
+        raise ValueError("unrelated")
+
+    stream = _EncodeStream(iter([("x",)]), bad_stage, None, 0)
+    stream.oom_recover = drain
+    with pytest.raises(ValueError, match="unrelated"):
+        next(stream)
+
+
 def test_prefetched_stream_propagates_errors():
     """An exception inside the encode worker surfaces on the consumer
     thread instead of hanging the serve loop."""
