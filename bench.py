@@ -693,8 +693,6 @@ def main():
             "unit": "req/s", **result,
         }))
         return
-    if os.environ.get("MRAUDIO_BENCH_FORCE_CPU"):
-        jax.config.update("jax_platforms", "cpu")
 
     device_kind = jax.devices()[0].device_kind
     # Runtime ResourceExhausted at the default batch is possible through

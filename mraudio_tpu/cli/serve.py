@@ -280,6 +280,15 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         else:
             pending.append(item)
             ann_by_id[item[0].request_id] = item[1]
+    if not pending:
+        # empty annotation file / exhausted stream: a well-formed empty
+        # result beats the IndexError a user-facing CLI would otherwise
+        # surface from pending[0]
+        return [], {
+            "requests": 0, "slots": max_slots, "elapsed_s": 0.0,
+            "requests_per_sec": 0.0,
+            "encode_mode": "inline" if inline else "upfront",
+        }
     prefix_len = pending[0][0].prefix_embeds.shape[0]
     engine = ContinuousBatcher(
         model.llm, {"params": params["llm"]}, prefix_len,

@@ -271,9 +271,19 @@ class BatchLoader:
         return -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Batch]:
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator[Batch]:
+        """Iterate from batch ordinal ``start_batch`` WITHOUT building the
+        skipped batches — mid-epoch resume after preemption would
+        otherwise pay full sample decode/collate for every batch it
+        throws away (minutes of host time late in a full-size epoch on a
+        1-core host).  The order is deterministic in (seed, epoch), so
+        starting at the offset yields exactly the batches a full
+        iteration would from that point."""
         order = self._order()
         n_batches = len(self)
-        starts = [i * self.batch_size for i in range(n_batches)]
+        starts = [i * self.batch_size for i in range(start_batch, n_batches)]
 
         def build(start: int) -> Batch:
             idxs = order[start : start + self.batch_size]
@@ -285,9 +295,9 @@ class BatchLoader:
                 pool.submit(build, s) for s in starts[: self.prefetch_depth]
             ]
             next_submit = self.prefetch_depth
-            for _ in range(n_batches):
+            for _ in range(len(starts)):
                 batch = pending.pop(0).result()
-                if next_submit < n_batches:
+                if next_submit < len(starts):
                     pending.append(pool.submit(build, starts[next_submit]))
                     next_submit += 1
                 yield batch

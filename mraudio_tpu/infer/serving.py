@@ -109,6 +109,18 @@ class ContinuousBatcher:
         # W-wide pass costs ~one 1-wide step; every accepted guess
         # removes a whole dispatch.  Token-identical to spec_width=1.
         self.spec_width = max(1, spec_width)
+        # The spec path is host-in-the-loop (drafts come from each slot's
+        # emitted history), so it can neither window micro-steps nor
+        # pipeline dispatches: reject the contradictory ask instead of
+        # silently running a config the stats would then misreport.
+        if self.spec_width > 1 and self.steps_per_dispatch > 1:
+            raise ValueError(
+                "spec_width > 1 and steps_per_dispatch > 1 are mutually "
+                "exclusive: speculative verify is itself the multi-"
+                "position dispatch"
+            )
+        if self.spec_width > 1:
+            pipeline_depth = 1  # reported depth = what actually runs
         # Decode-dispatch pipelining (greedy/window path): all decode row
         # state (cur token, positions, valid mask, write columns) lives ON
         # DEVICE, so dispatch k+1 chains directly off dispatch k's
@@ -194,8 +206,13 @@ class ContinuousBatcher:
         ).astype(jnp.float32)
         next_ids = jnp.argmax(last_logits[:, -1], axis=-1).astype(jnp.int32)
         if self.kv_keep:
+            # extra_cols must cover the whole slot decode region — the
+            # token budget PLUS the spec-draft slack columns — so the
+            # compacted per-request cache scatters 1:1 into the slot
+            # cache (max_len = slot_prefix + budget + W-1 slack).
             cache = compact_cache(
-                self.model.cfg, cache, pmask_full, s, self.max_new_tokens
+                self.model.cfg, cache, pmask_full, s,
+                self.max_len - self.slot_prefix,
             )
         return cache, next_ids, positions[:, -1]
 

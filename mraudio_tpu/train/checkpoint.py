@@ -60,6 +60,13 @@ def load_checkpoint(
     """Read a checkpoint; returns dict with 'model' (flat path-tuple
     dict), 'opt_state', 'epoch'.  Passing templates restores directly
     into the live pytree structure (required for optimizer NamedTuples)."""
+    # Every checkpoint dir has a ``<name>.meta.json`` sidecar next to it
+    # (step-position for mid-epoch resume).  A "latest checkpoint_*"
+    # glob naturally picks the sidecar (it sorts after the dir), so
+    # resolve it back to the checkpoint it annotates instead of handing
+    # orbax a JSON file.
+    if path.endswith(".meta.json"):
+        path = path[: -len(".meta.json")]
     ckptr = ocp.StandardCheckpointer()
     if trainable_template is not None:
         target = {

@@ -223,6 +223,7 @@ class Trainer:
         self._skip_steps = 0
         self._step_in_epoch = 0
         self._prev_sigterm = None
+        self._sigterm_installed = False
         if tc.preempt_save:
             import signal
 
@@ -231,6 +232,7 @@ class Trainer:
 
             try:
                 self._prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+                self._sigterm_installed = True
             except ValueError:
                 pass  # not the main thread (e.g. test harness)
 
@@ -409,7 +411,32 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _restore_sigterm(self) -> None:
+        """Hand SIGTERM back to whoever owned it before this trainer —
+        otherwise the dead trainer's flag-setter shadows the process's
+        real handler for the rest of its life (a finished-then-serving
+        process would silently ignore the pod's shutdown signal)."""
+        if not self._sigterm_installed:
+            return
+        import signal
+
+        try:
+            signal.signal(
+                signal.SIGTERM,
+                self._prev_sigterm if self._prev_sigterm is not None
+                else signal.SIG_DFL,
+            )
+        except ValueError:
+            pass  # not the main thread
+        self._sigterm_installed = False
+
     def train(self) -> dict:
+        try:
+            return self._train()
+        finally:
+            self._restore_sigterm()
+
+    def _train(self) -> dict:
         tc = self.cfg.train
         best_metric, best_epoch = 0.0, 0
         results = {}
@@ -460,9 +487,11 @@ class Trainer:
         if self._windowed:
             self._train_epoch_windowed(epoch, metric_logger, skip)
         else:
-            for i, batch in enumerate(self.train_loader):
-                if i < skip:
-                    continue
+            # iter_from skips WITHOUT building the consumed batches —
+            # replaying them would pay full sample decode/collate per
+            # discarded batch (minutes late in a full-size epoch here)
+            for i, batch in enumerate(self.train_loader.iter_from(skip),
+                                      start=skip):
                 # jit cache keyed on n_frms: mixed-length curricula or
                 # train/val n_frms mismatches each get their own compile
                 # instead of silently reusing the first batch's step.
@@ -582,9 +611,7 @@ class Trainer:
                 # the window just completed: the step position is exact
                 self._preempt_exit(epoch)
 
-        for i, batch in enumerate(self.train_loader):
-            if i < skip:
-                continue
+        for batch in self.train_loader.iter_from(skip):
             n_frms = int(batch.timestamps.shape[1])
             fns = self._step_fns.get(n_frms)
             if fns is None:
@@ -681,6 +708,8 @@ class Trainer:
         logger.info("Loading checkpoint from %s.", path)
 
     def _load_checkpoint(self, path: str) -> None:
+        if path.endswith(".meta.json"):   # sidecar picked by a glob
+            path = path[: -len(".meta.json")]
         payload = ckpt.load_checkpoint(path, self.trainable, self.opt_state)
         restored = payload["model"]
         self.trainable = {

@@ -517,13 +517,19 @@ int mr_write_test_video(const char* path, const unsigned char* rgb, int n,
     set_error("cannot alloc output context");
     return -1;
   }
-  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
-  if (!enc) {
-    set_error("no mpeg4 encoder");
+  AVCodecContext* codec = nullptr;
+  auto fail = [&](const char* msg) {
+    set_error(msg);
+    if (codec) avcodec_free_context(&codec);
+    if (fmt->pb && !(fmt->oformat->flags & AVFMT_NOFILE))
+      avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
     return -1;
-  }
+  };
+  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!enc) return fail("no mpeg4 encoder");
   AVStream* st = avformat_new_stream(fmt, nullptr);
-  AVCodecContext* codec = avcodec_alloc_context3(enc);
+  codec = avcodec_alloc_context3(enc);
   codec->width = w;
   codec->height = h;
   codec->pix_fmt = AV_PIX_FMT_YUV420P;
@@ -533,22 +539,16 @@ int mr_write_test_video(const char* path, const unsigned char* rgb, int n,
   codec->bit_rate = 2000000;
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
     codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-  if (avcodec_open2(codec, enc, nullptr) < 0) {
-    set_error("cannot open encoder");
-    return -1;
-  }
+  if (avcodec_open2(codec, enc, nullptr) < 0)
+    return fail("cannot open encoder");
   avcodec_parameters_from_context(st->codecpar, codec);
   st->time_base = codec->time_base;
 
   if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
-      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
-    set_error("cannot open output file");
-    return -1;
-  }
-  if (avformat_write_header(fmt, nullptr) < 0) {
-    set_error("cannot write header");
-    return -1;
-  }
+      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
+    return fail("cannot open output file");
+  if (avformat_write_header(fmt, nullptr) < 0)
+    return fail("cannot write header");
 
   SwsContext* sws =
       sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
@@ -600,24 +600,29 @@ int mr_write_test_audio(const char* path, const float* samples, long long n,
     set_error("cannot alloc wav context");
     return -1;
   }
+  AVCodecContext* codec = nullptr;
+  auto fail = [&](const char* msg) {
+    set_error(msg);
+    if (codec) avcodec_free_context(&codec);
+    if (fmt->pb) avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
+    return -1;
+  };
   const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_PCM_S16LE);
   AVStream* st = avformat_new_stream(fmt, nullptr);
-  AVCodecContext* codec = avcodec_alloc_context3(enc);
+  codec = avcodec_alloc_context3(enc);
   codec->sample_rate = sample_rate;
   AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
   av_channel_layout_copy(&codec->ch_layout, &mono);
   codec->sample_fmt = AV_SAMPLE_FMT_S16;
   codec->time_base = {1, sample_rate};
-  if (avcodec_open2(codec, enc, nullptr) < 0) {
-    set_error("cannot open pcm encoder");
-    return -1;
-  }
+  if (avcodec_open2(codec, enc, nullptr) < 0)
+    return fail("cannot open pcm encoder");
   avcodec_parameters_from_context(st->codecpar, codec);
-  if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
-    set_error("cannot open wav file");
-    return -1;
-  }
-  avformat_write_header(fmt, nullptr);
+  if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
+    return fail("cannot open wav file");
+  if (avformat_write_header(fmt, nullptr) < 0)
+    return fail("cannot write wav header");
 
   AVFrame* frame = av_frame_alloc();
   AVPacket* pkt = av_packet_alloc();
@@ -674,10 +679,23 @@ int mr_write_media(const char* path, const unsigned char* rgb, int n, int h,
     set_error("cannot alloc output context");
     return -1;
   }
+  AVCodecContext* vcodec = nullptr;
+  AVCodecContext* acodec = nullptr;
+  // Early-exit cleanup: frees everything open so far (contexts, and the
+  // avio handle once opened) — a long-lived process fabricating corpora
+  // must not leak per failed video (the reader paths free on all exits).
+  auto fail = [&](const char* msg) {
+    set_error(msg);
+    if (vcodec) avcodec_free_context(&vcodec);
+    if (acodec) avcodec_free_context(&acodec);
+    if (fmt->pb && !(fmt->oformat->flags & AVFMT_NOFILE))
+      avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
+    return -1;
+  };
 
   // --- video stream ---
   const AVCodec* venc = avcodec_find_encoder(AV_CODEC_ID_H264);
-  AVCodecContext* vcodec = nullptr;
   if (venc) {
     vcodec = avcodec_alloc_context3(venc);
     vcodec->width = w;
@@ -698,10 +716,7 @@ int mr_write_media(const char* path, const unsigned char* rgb, int n, int h,
   }
   if (!vcodec) {  // fall back to mpeg4
     venc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
-    if (!venc) {
-      set_error("no h264/mpeg4 encoder");
-      return -1;
-    }
+    if (!venc) return fail("no h264/mpeg4 encoder");
     vcodec = avcodec_alloc_context3(venc);
     vcodec->width = w;
     vcodec->height = h;
@@ -711,10 +726,8 @@ int mr_write_media(const char* path, const unsigned char* rgb, int n, int h,
     vcodec->bit_rate = 2000000;
     if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
       vcodec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-    if (avcodec_open2(vcodec, venc, nullptr) < 0) {
-      set_error("cannot open video encoder");
-      return -1;
-    }
+    if (avcodec_open2(vcodec, venc, nullptr) < 0)
+      return fail("cannot open video encoder");
   }
   AVStream* vst = avformat_new_stream(fmt, nullptr);
   avcodec_parameters_from_context(vst->codecpar, vcodec);
@@ -722,7 +735,6 @@ int mr_write_media(const char* path, const unsigned char* rgb, int n, int h,
 
   // --- audio stream (AAC) ---
   const AVCodec* aenc = avcodec_find_encoder(AV_CODEC_ID_AAC);
-  AVCodecContext* acodec = nullptr;
   AVStream* ast = nullptr;
   if (aenc && n_samples > 0) {
     acodec = avcodec_alloc_context3(aenc);
@@ -734,24 +746,18 @@ int mr_write_media(const char* path, const unsigned char* rgb, int n, int h,
     acodec->bit_rate = 64000;
     if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
       acodec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-    if (avcodec_open2(acodec, aenc, nullptr) < 0) {
-      set_error("cannot open aac encoder");
-      return -1;
-    }
+    if (avcodec_open2(acodec, aenc, nullptr) < 0)
+      return fail("cannot open aac encoder");
     ast = avformat_new_stream(fmt, nullptr);
     avcodec_parameters_from_context(ast->codecpar, acodec);
     ast->time_base = acodec->time_base;
   }
 
   if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
-      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
-    set_error("cannot open output file");
-    return -1;
-  }
-  if (avformat_write_header(fmt, nullptr) < 0) {
-    set_error("cannot write header");
-    return -1;
-  }
+      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
+    return fail("cannot open output file");
+  if (avformat_write_header(fmt, nullptr) < 0)
+    return fail("cannot write header");
 
   SwsContext* sws =
       sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,

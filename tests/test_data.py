@@ -124,6 +124,29 @@ def test_batch_loader_sharding(tmp_path):
     assert sorted(seen) == list(range(10))
 
 
+def test_batch_loader_iter_from(tmp_path):
+    """Mid-epoch resume path: iter_from(k) yields exactly the batches a
+    full iteration yields from k on, WITHOUT building the skipped ones
+    (resume after preemption must not pay decode/collate for batches it
+    throws away)."""
+    cfg = tiny_data_config(n_frms=4)
+    ds = MRDataset(cfg, annotation_path=_write_annotations(tmp_path, n=10))
+    loader = BatchLoader(ds, batch_size=2, shuffle=True, seed=3)
+    loader.set_epoch(1)
+
+    full = [tuple(b.qid) for b in loader]
+    calls = []
+    orig_get = ds.get
+    ds.get = lambda i: (calls.append(i), orig_get(i))[1]
+    tail = [tuple(b.qid) for b in loader.iter_from(3)]
+    ds.get = orig_get
+    assert tail == full[3:]
+    assert len(calls) == 2 * len(tail)   # skipped batches never built
+
+    assert [tuple(b.qid) for b in loader.iter_from(0)] == full
+    assert list(loader.iter_from(len(full))) == []
+
+
 def test_synthetic_video_deterministic():
     src = SyntheticVideoSource()
     vlen, fps = src.probe("a.mp4")

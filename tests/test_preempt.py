@@ -100,6 +100,23 @@ def test_sigterm_sets_flag_and_next_step_saves(setup):
     assert tr._preempt_requested
 
 
+def test_sigterm_handler_restored_after_train(setup):
+    """train() must hand SIGTERM back when it finishes — otherwise the
+    dead trainer's flag-setter shadows the process handler forever (a
+    finished-then-serving process would ignore the pod's shutdown
+    signal), and with several trainers alive only the last-constructed
+    one's handler ever ran."""
+    before = signal.getsignal(signal.SIGTERM)
+    tr = _trainer(setup, "out_sigrestore")
+    installed = signal.getsignal(signal.SIGTERM)
+    assert installed is not before          # trainer's handler is live
+    tr.train()
+    assert signal.getsignal(signal.SIGTERM) is before
+    # idempotent: a second restore (e.g. another train() call) is a no-op
+    tr._restore_sigterm()
+    assert signal.getsignal(signal.SIGTERM) is before
+
+
 def test_preempt_mid_epoch_then_resume_is_bitwise(setup):
     # --- uninterrupted run -------------------------------------------------
     tr_a = _trainer(setup, "out_a")

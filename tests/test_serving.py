@@ -179,6 +179,74 @@ def test_submit_many_with_kv_keep(setup):
     assert run(False) == run(True)
 
 
+def test_spec_engine_with_kv_keep(setup):
+    """spec_width>1 together with kv_keep (the deployable config +
+    --spec-width) must admit and decode token-identically to spec=1: the
+    compacted per-request prefill cache has to cover the slot's FULL
+    decode region incl. the W-1 draft-slack columns (a shape mismatch
+    here crashed admission — the prefill compaction sized extra_cols to
+    the token budget only)."""
+    model, params, s, d = setup
+    cfg = model.cfg.replace(kv_keep=8, kv_keep_obs=4, kv_keep_sink=2)
+    cmodel = LlamaModel(cfg, None)
+    prefixes = _make_prefixes(3, s, d, seed=17)
+    reqs = [Request(i, e, m) for i, (e, m) in enumerate(prefixes)]
+
+    def run(spec):
+        engine = ContinuousBatcher(
+            cmodel, params, prefix_len=s, max_new_tokens=4, eos_id=2,
+            max_slots=2, spec_width=spec,
+        )
+        pending, done = list(reqs), {}
+        while pending or engine.active.any():
+            while pending and engine.free_slots():
+                n = engine.submit_many(pending[: engine.free_slots()])
+                pending = pending[n:]
+            for c in engine.step():
+                done[c.request_id] = list(c.token_ids)
+        return done
+
+    assert run(4) == run(1)
+
+
+def test_spec_rejects_steps_per_dispatch(setup):
+    """The spec path is host-in-the-loop: asking for micro-step windows
+    on top of it is contradictory and must fail loudly (it used to run
+    K=1 silently while the stats reported K).  pipeline_depth is forced
+    to what actually runs (1)."""
+    model, params, s, d = setup
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ContinuousBatcher(
+            model, params, prefix_len=s, max_new_tokens=4, eos_id=2,
+            max_slots=2, spec_width=4, steps_per_dispatch=4,
+        )
+    engine = ContinuousBatcher(
+        model, params, prefix_len=s, max_new_tokens=4, eos_id=2,
+        max_slots=2, spec_width=4, pipeline_depth=2,
+    )
+    assert engine.pipeline_depth == 1
+
+
+def test_serve_empty_request_stream(setup):
+    """An empty annotation set yields a well-formed empty result, not an
+    IndexError from pending[0]."""
+    import types
+
+    from mraudio_tpu.cli.serve import serve
+
+    model, params, s, d = setup
+    wrapper = types.SimpleNamespace(
+        llm=model, llm_tokenizer=types.SimpleNamespace(eos_token_id=2),
+        cfg=types.SimpleNamespace(max_new_tokens=4),
+    )
+    records, stats = serve(wrapper, {"llm": params["params"]}, [], 2, 4)
+    assert records == [] and stats["requests"] == 0
+    records, stats = serve(wrapper, {"llm": params["params"]}, None, 2, 4,
+                           request_stream=iter([]))
+    assert records == [] and stats["requests"] == 0
+    assert stats["encode_mode"] == "inline"
+
+
 def test_serving_on_tp_mesh(setup):
     """The continuous batcher runs with Megatron-sharded LLM params on
     the virtual (data=2, model=4) mesh and matches single-device tokens
