@@ -322,6 +322,8 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         # the failed encode dispatch once.  Completions surfaced during
         # the drain are handled normally.
         def _drain_for_encode():
+            while engine.admission_pending():
+                engine.admission_step()
             while engine.active.any() or engine._inflight:
                 for completion in engine.step():
                     handle(completion)
@@ -335,7 +337,8 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
     # for (sec_per_decode_step vs the device-only HBM floor).
     prefill_s = decode_s = inline_encode_s = 0.0
     prefill_calls = decode_steps = 0
-    while pending or request_stream is not None or engine.active.any():
+    while (pending or request_stream is not None or engine.active.any()
+           or engine.admission_pending() or engine._inflight):
         if (request_stream is not None
                 and len(pending) < engine.max_prefill_batch):
             # encode ahead (at most one admission batch): the encoder
@@ -349,20 +352,35 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
             else:
                 pending.append(item)
                 ann_by_id[item[0].request_id] = item[1]
-        # in inline mode wait for a full admission batch while the stream
-        # is live — width-1 admissions would forfeit the shared prefill
-        batch_ready = request_stream is None or len(pending) >= min(
-            engine.max_prefill_batch, max(engine.free_slots(), 1)
-        )
-        if pending and engine.free_slots() and batch_ready:
-            # simultaneous arrivals share one batched prefill dispatch
-            now = time.time()
-            admitted = engine.submit_many([req for req, _ in pending])
-            prefill_s += time.time() - now
-            prefill_calls += 1
-            for req, _ in pending[:admitted]:
-                submit_time[req.request_id] = now
-            del pending[:admitted]
+        if engine.admission_pending():
+            # one prefill-chunk dispatch per loop iteration: the decode
+            # dispatch below lands BETWEEN chunks on the device queue, so
+            # active slots keep emitting during admission instead of
+            # stalling behind the whole multi-second prefill (r3's 50 s
+            # p95 was that stall — every decode's cache input data-
+            # depended on the one-shot admission scatter)
+            t0 = time.time()
+            engine.admission_step()
+            prefill_s += time.time() - t0
+        else:
+            # in inline mode wait for a full admission batch while the
+            # stream is live — width-1 admissions would forfeit the
+            # shared prefill
+            batch_ready = request_stream is None or len(pending) >= min(
+                engine.max_prefill_batch, max(engine.free_slots(), 1)
+            )
+            if pending and engine.free_slots() and batch_ready:
+                # simultaneous arrivals share one batched chunked prefill
+                now = time.time()
+                admitted = engine.begin_admission(
+                    [req for req, _ in pending]
+                )
+                prefill_s += time.time() - now
+                if admitted:
+                    prefill_calls += 1
+                    for req, _ in pending[:admitted]:
+                        submit_time[req.request_id] = now
+                    del pending[:admitted]
         if engine.active.any() or engine._inflight:
             t0 = time.time()
             completions = engine.step()

@@ -31,7 +31,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mraudio_tpu.infer.generate import prefill_cache
 from mraudio_tpu.models.llama import LlamaModel, compact_cache, init_cache
 
 
@@ -142,6 +141,32 @@ class ContinuousBatcher:
         self.max_len = self.slot_prefix + max_new_tokens + (
             self.spec_width - 1 if self.spec_width > 1 else 0
         )
+        # Incremental (chunked) admission: the prefill runs as one
+        # dispatch PER cfg.prefill_chunk segment (``admission_step``),
+        # against a per-admission batch cache that only touches the
+        # shared slot cache at the final scatter — so the serve loop can
+        # interleave decode dispatches between segments and active slots
+        # never stall behind a whole 5k-token prefill (the r3 artifact's
+        # 50 s p95 was exactly that stall: every decode dispatch's cache
+        # input data-depended on the in-flight admission scatter).
+        chunk = model.cfg.prefill_chunk
+        if not chunk or prefix_len <= chunk:
+            self._chunk_starts = [(0, prefix_len)]
+        else:
+            self._chunk_starts = [
+                (o, min(chunk, prefix_len - o))
+                for o in range(0, prefix_len, chunk)
+            ]
+        # SnapKV observation window start (absolute column) — identical
+        # to infer/generate.py::prefill_cache so engine tokens match the
+        # offline path bit for bit.
+        self._obs_start = (
+            prefix_len - min(model.cfg.kv_keep_obs, prefix_len)
+            if model.cfg.kv_keep > 0 else None
+        )
+        self._admission: Optional[dict] = None
+        self._reserved = np.zeros((max_slots,), bool)
+        self._chunk_jits: dict = {}
 
         self.cache = init_cache(model.cfg, max_slots, self.max_len)
         if self.kv_keep:
@@ -173,7 +198,7 @@ class ContinuousBatcher:
         self.slot_request: list[Optional[int]] = [None] * max_slots
         self.active = np.zeros((max_slots,), bool)
 
-        self._prefill = jax.jit(self._prefill_fn)
+        self._finish = jax.jit(self._finish_fn, donate_argnums=(1,))
         self._decode_window = jax.jit(
             self._decode_window_fn, donate_argnums=(1, 2, 3, 4, 5)
         )
@@ -185,22 +210,40 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------
 
-    def _prefill_fn(self, params, embeds, prefix_mask):
-        """Batched prefill of N requests over caches sized to one slot's
-        region.  N is a compile-time shape — ``submit_many`` buckets the
-        arrival count to powers of two so the jit compiles O(log slots)
-        variants, not one per count."""
-        b = embeds.shape[0]
-        s = self.prefix_len
-        alloc = s if self.kv_keep else self.max_len
-        positions = jnp.maximum(jnp.cumsum(prefix_mask, axis=-1) - 1, 0)
-        pmask_full = jnp.zeros((b, alloc), jnp.int32).at[:, :s].set(prefix_mask)
-        # segmented when cfg.prefill_chunk; return_hidden + last-position
-        # lm_head: the full-sequence vocab logits are never read past
-        # [:, -1] (see infer/generate.py).
-        hidden, cache = prefill_cache(
-            self.model, params, embeds, positions, pmask_full, alloc
-        )
+    def _chunk_fn(self, o: int, c: int):
+        """Jitted prefill of ONE static segment [o, o+c) — the dispatch
+        unit of incremental admission.  The segment math mirrors
+        ``infer/generate.py::prefill_cache`` exactly (same attend mask,
+        same ``kv_valid`` frontier, same static ``obs_start``), so the
+        chunk sequence writes the identical cache the one-shot jit did;
+        the per-admission cache is donated through the chain.  Bucketed
+        batch widths x len(starts) offsets bound the compiled variants
+        to O(log slots * ceil(S/chunk))."""
+        key = (o, c)
+        if key not in self._chunk_jits:
+            alloc = self.prefix_len if self.kv_keep else self.max_len
+
+            def fn(params, cache, embeds, positions, pmask_full):
+                emb_c = jax.lax.slice_in_dim(embeds, o, o + c, axis=1)
+                pos_c = jax.lax.slice_in_dim(positions, o, o + c, axis=1)
+                k_idx = jnp.arange(alloc)[None, :]
+                pad = pmask_full[:, None, None, :].astype(bool)
+                q_idx = (o + jnp.arange(c))[:, None]
+                attend = ((k_idx <= q_idx)[None, None]) & pad
+                written = pmask_full * (k_idx < o + c).astype(pmask_full.dtype)
+                return self.model.apply(
+                    params, emb_c, attend, pos_c, cache=cache, cache_index=o,
+                    kv_valid=written, causal=True, return_hidden=True,
+                    obs_start=self._obs_start,
+                )
+
+            self._chunk_jits[key] = jax.jit(fn, donate_argnums=(1,))
+        return self._chunk_jits[key]
+
+    def _finish_fn(self, params, cache, hidden, pmask_full):
+        """Admission epilogue: last-position lm_head seeds each row's
+        first token; under ``kv_keep`` the per-request cache compacts to
+        the top-keep columns before the slot scatter."""
         last_logits = self.model.apply(
             params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]
         ).astype(jnp.float32)
@@ -211,10 +254,10 @@ class ContinuousBatcher:
             # compacted per-request cache scatters 1:1 into the slot
             # cache (max_len = slot_prefix + budget + W-1 slack).
             cache = compact_cache(
-                self.model.cfg, cache, pmask_full, s,
+                self.model.cfg, cache, pmask_full, self.prefix_len,
                 self.max_len - self.slot_prefix,
             )
-        return cache, next_ids, positions[:, -1]
+        return cache, next_ids
 
     def _write_slots_fn(self, cache, batch_cache, slots):
         # scatters every cache leaf (k/v, plus scales under kv_quant, plus
@@ -317,23 +360,43 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
 
     def free_slots(self) -> int:
-        return int((~self.active).sum())
+        return int((~self.active & ~self._reserved).sum())
 
     def submit(self, request: Request) -> bool:
         """Prefill a request into a free slot.  False if no slot free."""
         return self.submit_many([request]) == 1
 
     def submit_many(self, requests: list) -> int:
-        """Prefill up to ``free_slots()`` of ``requests`` in ONE batched
-        jitted call and scatter their KV into free slots.  Returns how
-        many were admitted (a prefix of the list); the rest stay the
-        caller's to resubmit.
+        """Prefill up to ``free_slots()`` of ``requests`` (batched, one
+        admission) and scatter their KV into free slots, draining every
+        chunk dispatch synchronously.  Returns how many were admitted (a
+        prefix of the list); the rest stay the caller's to resubmit.
+        The incremental twin is ``begin_admission`` + ``admission_step``,
+        which lets the caller interleave decode dispatches between
+        prefill chunks — token-identical (same dispatches, same order
+        within the admission)."""
+        n = self.begin_admission(requests)
+        while self._admission is not None:
+            self.admission_step()
+        return n
+
+    def admission_pending(self) -> bool:
+        return self._admission is not None
+
+    def begin_admission(self, requests: list) -> int:
+        """Reserve slots + stack embeds for up to ``max_prefill_batch``
+        requests; returns the admitted count (0 if an admission is
+        already in flight).  The prefill itself runs via
+        ``admission_step`` — one chunk dispatch per call — so the serve
+        loop keeps decode lanes flowing during admission.
 
         The batch is padded up to the next power of two (by repeating the
         last row — an all-zero mask row would NaN the softmax) so the
-        prefill jit compiles at most log2(max_slots)+1 shapes; padded
+        prefill jits compile at most log2(max_slots)+1 widths; padded
         rows' outputs are discarded and never touch the slot cache."""
-        free = np.where(~self.active)[0]
+        if self._admission is not None:
+            return 0
+        free = np.where(~self.active & ~self._reserved)[0]
         n = min(len(requests), len(free), self.max_prefill_batch)
         if n == 0:
             return 0
@@ -351,13 +414,60 @@ class ContinuousBatcher:
         masks = np.stack(
             [np.asarray(r.prefix_mask) for r in take]
             + [np.asarray(take[-1].prefix_mask)] * (bucket - n)
+        ).astype(np.int32)
+        s = self.prefix_len
+        alloc = s if self.kv_keep else self.max_len
+        positions = np.maximum(np.cumsum(masks, axis=-1) - 1, 0).astype(
+            np.int32
         )
-        batch_cache, first_ids, last_pos = self._prefill(
-            self.params, embeds, jnp.asarray(masks)
+        pmask_full = np.zeros((bucket, alloc), np.int32)
+        pmask_full[:, :s] = masks
+        self._admission = {
+            "take": take,
+            "slots": slots,
+            "n": n,
+            "cache": init_cache(self.model.cfg, bucket, alloc),
+            "embeds": embeds,
+            "positions": jnp.asarray(positions),
+            "pmask": jnp.asarray(pmask_full),
+            "masks": masks,
+            "last_pos": positions[:, -1],
+            "hidden": None,
+            "chunk": 0,
+        }
+        self._reserved[slots] = True
+        return n
+
+    def admission_step(self) -> bool:
+        """Dispatch the next admission stage: one prefill chunk, or (all
+        chunks done) the epilogue — lm_head seed + optional compaction +
+        slot scatter + row-state scatter — after which the admitted rows
+        are live.  Returns True when the admission completed."""
+        ad = self._admission
+        assert ad is not None, "no admission in flight"
+        if ad["chunk"] < len(self._chunk_starts):
+            o, c = self._chunk_starts[ad["chunk"]]
+            hidden, cache = self._chunk_fn(o, c)(
+                self.params, ad["cache"], ad["embeds"], ad["positions"],
+                ad["pmask"],
+            )
+            ad["cache"], ad["hidden"] = cache, hidden
+            ad["chunk"] += 1
+            return False
+        batch_cache, first_ids = self._finish(
+            self.params, ad["cache"], ad["hidden"], ad["pmask"]
         )
+        take, slots, n = ad["take"], ad["slots"], ad["n"]
+        last_pos = ad["last_pos"]
         self.cache = self._write_slots(
             self.cache, batch_cache, jnp.asarray(slots)
         )
+        self._finish_bookkeeping(take, slots, n, first_ids, last_pos)
+        self._reserved[slots] = False
+        self._admission = None
+        return True
+
+    def _finish_bookkeeping(self, take, slots, n, first_ids, last_pos):
         if self.spec_width > 1:
             # host row state (drafting reads it every step)
             first_ids_h = np.asarray(first_ids)
@@ -401,7 +511,6 @@ class ContinuousBatcher:
             )
             self.slot_request[slot] = request.request_id
             self.active[slot] = True
-        return n
 
     def step(self) -> list[Completion]:
         """Advance every active slot by ``steps_per_dispatch`` tokens.
@@ -535,6 +644,8 @@ class ContinuousBatcher:
 
     def run_to_completion(self) -> list[Completion]:
         out = []
+        while self._admission is not None:
+            self.admission_step()
         while self.active.any() or self._inflight:
             out.extend(self.step())
         return out

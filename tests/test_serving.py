@@ -80,6 +80,53 @@ def test_serving_matches_batched_greedy(setup):
             assert tokens[-1] == 2  # ended because of eos
 
 
+def test_interleaved_admission_matches_drained(setup):
+    """Incremental admission (``begin_admission`` + one ``admission_step``
+    chunk dispatch per loop iteration, decode dispatches interleaved
+    between chunks — the serve loop's production shape) must be token-
+    identical to the synchronous ``submit_many`` drain: an in-flight
+    admission's chunks write a private batch cache and only touch the
+    shared slot cache at the final scatter."""
+    model, params, s, d = setup
+    chunked = LlamaModel(model.cfg.replace(prefill_chunk=5), None)
+    max_new = 6
+    prefixes = _make_prefixes(4, s, d, seed=7)
+    reqs = [Request(i, e, m) for i, (e, m) in enumerate(prefixes)]
+    kw = dict(prefix_len=s, max_new_tokens=max_new, eos_id=2,
+              max_slots=2, max_prefill_batch=2)
+
+    def run_drained():
+        engine = ContinuousBatcher(chunked, params, **kw)
+        assert len(engine._chunk_starts) == 3  # 5 + 5 + 2
+        pending, results = list(reqs), {}
+        while engine.active.any() or pending:
+            if pending and engine.free_slots():
+                n = engine.submit_many(pending)
+                del pending[:n]
+            for c in engine.step():
+                results[c.request_id] = c.token_ids
+        return results
+
+    def run_interleaved():
+        engine = ContinuousBatcher(chunked, params, **kw)
+        pending, results = list(reqs), {}
+        while (pending or engine.active.any() or engine.admission_pending()
+               or engine._inflight):
+            if engine.admission_pending():
+                engine.admission_step()
+            elif pending and engine.free_slots():
+                n = engine.begin_admission(pending)
+                del pending[:n]
+            if engine.active.any() or engine._inflight:
+                for c in engine.step():
+                    results[c.request_id] = c.token_ids
+        return results
+
+    drained = run_drained()
+    assert set(drained) == {0, 1, 2, 3}
+    assert run_interleaved() == drained
+
+
 def test_submit_many_matches_sequential(setup):
     """Batched admission (one prefill dispatch, padded bucket, slot
     scatter) must be token-identical to one-at-a-time submits."""
