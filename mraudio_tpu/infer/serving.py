@@ -198,7 +198,12 @@ class ContinuousBatcher:
         self.slot_request: list[Optional[int]] = [None] * max_slots
         self.active = np.zeros((max_slots,), bool)
 
-        self._finish = jax.jit(self._finish_fn, donate_argnums=(1,))
+        # donate the admission cache through the epilogue only when it
+        # passes through same-shape; compaction changes leaf shapes, so
+        # the donated buffers would be unusable (warning, no benefit)
+        self._finish = jax.jit(
+            self._finish_fn, donate_argnums=() if self.kv_keep else (1,)
+        )
         self._decode_window = jax.jit(
             self._decode_window_fn, donate_argnums=(1, 2, 3, 4, 5)
         )

@@ -710,6 +710,14 @@ class Trainer:
     def _load_checkpoint(self, path: str) -> None:
         if path.endswith(".meta.json"):   # sidecar picked by a glob
             path = path[: -len(".meta.json")]
+        from mraudio_tpu.utils import fetch
+
+        if fetch.is_url(path):
+            # URL-or-file resume, reference parity (`_load_checkpoint`,
+            # /root/reference/utils/trainer.py:232-254): a URL names a
+            # tar/zip archive of the Orbax checkpoint dir, downloaded
+            # and extracted once into the shared cache.
+            path = fetch.cached_checkpoint_dir(path)
         payload = ckpt.load_checkpoint(path, self.trainable, self.opt_state)
         restored = payload["model"]
         self.trainable = {

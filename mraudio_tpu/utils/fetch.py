@@ -49,3 +49,55 @@ def cached_path(url_or_path: str, progress: bool = False) -> str:
     urllib.request.urlretrieve(url_or_path, tmp)  # noqa: S310
     os.replace(tmp, target)
     return target
+
+
+def cached_checkpoint_dir(url_or_path: str) -> str:
+    """Resolve a URL-or-path to a LOCAL checkpoint *directory* — the
+    resume-from-URL capability of the reference's ``_load_checkpoint``
+    (``utils/trainer.py:232-254``, LAVIS ``download_cached_file``).
+
+    The reference's checkpoints are single ``.pth`` files; here they are
+    Orbax directories, so a URL must point at a tar/zip archive of one.
+    The archive is downloaded once (``cached_path``), extracted once,
+    and the checkpoint directory inside is returned — with any
+    ``.meta.json`` step-position sidecar landing next to it, so
+    mid-epoch resume works from a URL too.  A local directory path
+    passes straight through.
+    """
+    if not is_url(url_or_path) and os.path.isdir(url_or_path):
+        return url_or_path
+    local = cached_path(url_or_path)
+    if os.path.isdir(local):
+        return local
+
+    import shutil
+    import tarfile
+    import zipfile
+
+    dest = local + ".extracted"
+    if not os.path.isdir(dest):
+        tmp = dest + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        if tarfile.is_tarfile(local):
+            with tarfile.open(local) as tf:
+                tf.extractall(tmp, filter="data")
+        elif zipfile.is_zipfile(local):
+            with zipfile.ZipFile(local) as zf:
+                zf.extractall(tmp)
+        else:
+            raise ValueError(
+                f"{url_or_path}: expected an Orbax checkpoint directory "
+                "or a tar/zip archive of one"
+            )
+        os.replace(tmp, dest)
+    # Archive of the directory itself (one top-level dir, possibly with
+    # its .meta.json sidecar alongside) -> return that dir; archive of
+    # the directory's CONTENTS -> return the extraction root.
+    dirs = [e for e in os.listdir(dest) if os.path.isdir(os.path.join(dest, e))]
+    top_files = [e for e in os.listdir(dest)
+                 if not os.path.isdir(os.path.join(dest, e))
+                 and not e.endswith(".meta.json")]
+    if len(dirs) == 1 and not top_files:
+        return os.path.join(dest, dirs[0])
+    return dest

@@ -36,15 +36,15 @@ import numpy as np
 
 
 def time_best(fn, steps, *args):
-    t0 = time.time()
+    t0 = time.perf_counter()
     jax.block_until_ready(fn(*args))
-    compile_s = time.time() - t0
+    compile_s = time.perf_counter() - t0
     times = []
     for _ in range(steps):
-        t0 = time.time()
+        t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
-        times.append(time.time() - t0)
-    return min(times), compile_s, times
+        times.append(time.perf_counter() - t0)
+    return min(times), compile_s, sorted(times)[len(times) // 2], times
 
 
 def main():
@@ -80,7 +80,9 @@ def main():
             kv_quant="int8", prefill_chunk=32,
         )
         args.seq, args.budget = 48, 8
-        args.kv_keep = min(args.kv_keep, 24) or 24
+        # clamp to the tiny sequence, but keep an explicit --kv-keep 0
+        # (= "profile the no-compaction config") as 0
+        args.kv_keep = min(args.kv_keep, 24) if args.kv_keep else 0
     else:
         base = LlamaConfig(quantization="int8", kv_quant="int8")
     cfg_keep = base.replace(kv_keep=args.kv_keep)
@@ -112,6 +114,10 @@ def main():
         # ---- 1/2: prefill with and without SnapKV scoring.  Mirrors the
         # engine's _prefill_fn: alloc = s under kv_keep (the compacted
         # cache is what enters the slot region), full region otherwise.
+        # The kv_keep=0 variant is ALSO timed at alloc = s: the engine-
+        # realistic alloc = s + budget differs by ~1.2% cache columns,
+        # the same order as the scoring delta itself — the alloc-matched
+        # pair is the unconfounded scoring-cost A/B.
         def make_prefill(model, alloc, tag):
             positions = jnp.asarray(
                 np.maximum(np.cumsum(mask01, axis=-1) - 1, 0))
@@ -130,54 +136,63 @@ def main():
                 return nxt, jax.tree_util.tree_map(
                     lambda a: a.ravel()[0], cache)
 
-            best, comp, all_t = time_best(run, args.steps, params, x)
-            print(f"{tag}: best {best*1000:.0f} ms (compile+1st {comp:.1f}s)"
+            best, comp, med, all_t = time_best(run, args.steps, params, x)
+            print(f"{tag}: best {best*1000:.0f} ms / med {med*1000:.0f} ms "
+                  f"(compile+1st {comp:.1f}s)"
                   f"  all={['%.2f' % t for t in all_t]}", flush=True)
             return best
 
-        results["prefill_keep_s"] = make_prefill(
-            model_keep, s, f"prefill kv_keep={args.kv_keep}")
-        gc.collect()
+        if args.kv_keep:
+            results["prefill_keep_s"] = make_prefill(
+                model_keep, s, f"prefill kv_keep={args.kv_keep}")
+            gc.collect()
+            results["prefill_nokeep_match_s"] = make_prefill(
+                model_nokeep, s, "prefill kv_keep=0 @s")
+            gc.collect()
         results["prefill_nokeep_s"] = make_prefill(
             model_nokeep, s + args.budget, "prefill kv_keep=0   ")
         gc.collect()
 
-        # ---- 3: compact_cache alone, over a real post-prefill cache.
-        positions = jnp.asarray(np.maximum(np.cumsum(mask01, -1) - 1, 0))
-        pmask_full = jnp.asarray(
-            np.pad(mask01, ((0, 0), (0, 0))))  # alloc == s
+        if args.kv_keep:
+            # ---- 3: compact_cache alone, over a real post-prefill cache
+            # (skipped at --kv-keep 0: prefill never writes obs_score and
+            # a k=0 top-k is meaningless).
+            positions = jnp.asarray(np.maximum(np.cumsum(mask01, -1) - 1, 0))
+            pmask_full = jnp.asarray(
+                np.pad(mask01, ((0, 0), (0, 0))))  # alloc == s
 
-        @jax.jit
-        def full_prefill(params, x):
-            _, cache = prefill_cache(
-                model_keep, params, x, positions, pmask_full, s)
-            return cache
+            @jax.jit
+            def full_prefill(params, x):
+                _, cache = prefill_cache(
+                    model_keep, params, x, positions, pmask_full, s)
+                return cache
 
-        cache = full_prefill(params, x)
-        jax.block_until_ready(cache)
+            cache = full_prefill(params, x)
+            jax.block_until_ready(cache)
 
-        extra = args.budget  # engine adds spec slack; 0 here
+            extra = args.budget  # engine adds spec slack; 0 here
 
-        @jax.jit
-        def compact(cache):
-            return jax.tree_util.tree_map(
-                lambda a: a.ravel()[0],
-                compact_cache(cfg_keep, cache, pmask_full, s, extra))
+            @jax.jit
+            def compact(cache):
+                return jax.tree_util.tree_map(
+                    lambda a: a.ravel()[0],
+                    compact_cache(cfg_keep, cache, pmask_full, s, extra))
 
-        best, comp, all_t = time_best(compact, args.steps, cache)
-        print(f"compact_cache      : best {best*1000:.0f} ms "
-              f"(compile+1st {comp:.1f}s)  all={['%.2f' % t for t in all_t]}",
-              flush=True)
-        results["compact_s"] = best
-        del cache
-        gc.collect()
+            best, comp, med, all_t = time_best(compact, args.steps, cache)
+            print(f"compact_cache      : best {best*1000:.0f} ms / med "
+                  f"{med*1000:.0f} ms (compile+1st {comp:.1f}s)  "
+                  f"all={['%.2f' % t for t in all_t]}", flush=True)
+            results["compact_s"] = best
+            del cache
+            gc.collect()
 
     if args.stage in ("all", "engine"):
         # ---- 4: the engine's full admission path, warm, decode idle.
         from mraudio_tpu.infer.serving import ContinuousBatcher, Request
 
         engine = ContinuousBatcher(
-            model_keep, params, prefix_len=s, max_new_tokens=args.budget,
+            model_keep if args.kv_keep else model_nokeep, params,
+            prefix_len=s, max_new_tokens=args.budget,
             eos_id=2, max_slots=args.slots, max_prefill_batch=b,
         )
         reqs = [
@@ -194,21 +209,24 @@ def main():
             assert n == b, n
             return engine.cache, engine.dcur
 
-        best, comp, all_t = time_best(lambda: admit(), args.steps)
-        print(f"engine admission   : best {best*1000:.0f} ms "
-              f"(compile+1st {comp:.1f}s)  all={['%.2f' % t for t in all_t]}",
-              flush=True)
+        best, comp, med, all_t = time_best(lambda: admit(), args.steps)
+        print(f"engine admission   : best {best*1000:.0f} ms / med "
+              f"{med*1000:.0f} ms (compile+1st {comp:.1f}s)  "
+              f"all={['%.2f' % t for t in all_t]}", flush=True)
         results["engine_admit_s"] = best
 
-    if ("prefill_keep_s" in results and "prefill_nokeep_s" in results
+    if ("prefill_keep_s" in results and "prefill_nokeep_match_s" in results
             and "engine_admit_s" in results):
-        score = results["prefill_keep_s"] - results["prefill_nokeep_s"]
-        overhead = (results["engine_admit_s"]
+        # alloc-matched A/B: both passes ran at alloc = s, so the delta
+        # is scoring alone, not the ~1.2% cache-column difference
+        score = results["prefill_keep_s"] - results["prefill_nokeep_match_s"]
+        residual = (results["engine_admit_s"]
                     - results["prefill_keep_s"] - results["compact_s"])
-        print(f"\nattribution: obs-scoring {score*1000:+.0f} ms, "
-              f"compact {results['compact_s']*1000:.0f} ms, "
-              f"scatter/admit {overhead*1000:+.0f} ms "
-              f"(engine total {results['engine_admit_s']*1000:.0f} ms)")
+        print(f"\nattribution: obs-scoring {score*1000:+.0f} ms "
+              f"(alloc-matched), compact {results['compact_s']*1000:.0f} ms, "
+              f"residual {residual*1000:+.0f} ms "
+              f"(jit fusion of prefill+compact inside the engine dispatch; "
+              f"engine total {results['engine_admit_s']*1000:.0f} ms)")
 
 
 if __name__ == "__main__":

@@ -177,3 +177,37 @@ def test_epoch_boundary_meta_and_legacy_resume(setup, tmp_path):
     tr3 = _trainer(setup, "out_meta3", resume=path)
     assert tr3.start_epoch == 1
     assert tr3.global_step == tr3.steps_per_epoch
+
+
+def test_url_resume(setup, tmp_path, monkeypatch):
+    """resume_ckpt_path accepts a URL naming a tar of the checkpoint dir
+    (+ its .meta.json sidecar) — reference parity with `_load_checkpoint`
+    URL-or-file (`/root/reference/utils/trainer.py:232-254`).  The
+    download is monkeypatched (zero-egress host); extraction, sidecar
+    placement, and state restore run for real."""
+    import tarfile
+    import urllib.request
+
+    tr = _trainer(setup, "out_url_src")
+    tr.global_step = tr.steps_per_epoch
+    path = tr._save_checkpoint(0, is_best=False)
+
+    archive = tmp_path / "ckpt.tar"
+    with tarfile.open(archive, "w") as tf:
+        tf.add(path, arcname=os.path.basename(path))
+        tf.add(path + ".meta.json",
+               arcname=os.path.basename(path) + ".meta.json")
+
+    monkeypatch.setenv("MRAUDIO_CACHE", str(tmp_path / "cache"))
+    monkeypatch.setattr(
+        urllib.request, "urlretrieve",
+        lambda url, dst: __import__("shutil").copyfile(archive, dst),
+    )
+    tr2 = _trainer(setup, "out_url_dst",
+                   resume="https://example.invalid/ckpt.tar")
+    assert tr2.start_epoch == 1
+    assert tr2.global_step == tr.steps_per_epoch
+    for k in tr.trainable:
+        np.testing.assert_array_equal(
+            np.asarray(tr.trainable[k]), np.asarray(tr2.trainable[k])
+        )
