@@ -326,9 +326,13 @@ class XInstructBLIP:
         for i, (inp, out) in enumerate(zip(text_input, text_output)):
             in_ids = tok.encode(inp, add_special_tokens=True)[-cfg.max_txt_len :]
             # output carries eos, no bos (the reference tokenizes with bos
-            # then splices it off, models/xinstructblip.py:494-507)
+            # then splices it off, models/xinstructblip.py:494-507).  The
+            # reference's right-truncation to max_output_txt_len happens
+            # BEFORE the bos strip, so the effective output budget is
+            # max_output_txt_len - 1 tokens — reproduced exactly (the
+            # edge only bites when an output hits the budget).
             out_ids = tok.encode(out, add_special_tokens=False) + [tok.eos_token_id]
-            out_ids = out_ids[: cfg.max_output_txt_len]
+            out_ids = out_ids[: cfg.max_output_txt_len - 1]
             seq = (in_ids + out_ids)[:total]
             concat_ids[i, : len(seq)] = seq
             concat_mask[i, : len(seq)] = 1
