@@ -68,6 +68,10 @@ class ViTConfig(_ConfigBase):
     use_class_token: bool = True
     layer_norm_eps: float = 1e-6
     dtype: str = "bfloat16"
+    # MLP activation: "gelu" (EVA/erf-exact, the reference default),
+    # "quick_gelu" (CLIP towers), "gelu_tanh" (SigLIP towers — the
+    # VideoLLaMA2.1 vision encoder).  Config-only tower flavor switch.
+    mlp_act: str = "gelu"
     # rematerialize blocks under grad (reference use_grad_checkpoint,
     # models/xinstructblip.py:83)
     grad_checkpoint: bool = False
@@ -146,6 +150,11 @@ class LlamaConfig(_ConfigBase):
     rms_norm_eps: float = 1e-6
     max_seq_len: int = 4096
     dtype: str = "bfloat16"
+    # Qwen2-family attention flavor: biases on the q/k/v projections
+    # (o_proj stays bias-free, matching HF Qwen2).  Off for llama/
+    # vicuna/mistral checkpoints.  Lets VideoLLaMA2.1's Qwen2-7B decoder
+    # load config-only (models/convert_weights.py::convert_llama_hf).
+    attention_bias: bool = False
     # "int8" quantizes base weights per output channel (the TPU
     # counterpart of load_in_8bit); "int4" quantizes group-wise along the
     # input dim (int4_group_size) — HALF int8's weight bytes, so the

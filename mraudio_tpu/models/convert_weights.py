@@ -239,9 +239,27 @@ def convert_qformer_bundle(sd: dict, cfg, modality: str) -> dict:
 
 
 def convert_llama_hf(sd: dict, cfg) -> dict:
-    """HF ``LlamaForCausalLM`` state dict → :class:`LlamaModel` params.
+    """HF llama-family causal-LM state dict → :class:`LlamaModel` params.
     Rows beyond the checkpoint vocab (the appended [PAD]) are zero-init,
-    matching ``resize_token_embeddings`` (``models/xinstructblip.py:154``)."""
+    matching ``resize_token_embeddings`` (``models/xinstructblip.py:154``).
+
+    Covers the whole llama-layout family: Llama/Vicuna, Mistral (same
+    keys, GQA via ``cfg.num_kv_heads``), and Qwen2 (adds q/k/v biases —
+    requires ``cfg.attention_bias=True``; that plus rope_theta/dims is
+    the VideoLLaMA2.1 decoder).  Tied-embedding checkpoints (no
+    ``lm_head.weight``) reuse the embedding matrix, matching HF
+    ``tie_word_embeddings``."""
+    has_bias = f"model.layers.0.self_attn.q_proj.bias" in sd
+    if has_bias and not cfg.attention_bias:
+        raise ValueError(
+            "checkpoint carries q/k/v biases (Qwen2 flavor) but "
+            "cfg.attention_bias is False — set LlamaConfig.attention_bias"
+        )
+    if cfg.attention_bias and not has_bias:
+        raise ValueError(
+            "cfg.attention_bias=True but the checkpoint has no q/k/v "
+            "biases — wrong decoder flavor for this checkpoint"
+        )
 
     def pad_vocab(w, axis=0):
         if w.shape[axis] < cfg.vocab_size:
@@ -250,21 +268,30 @@ def convert_llama_hf(sd: dict, cfg) -> dict:
             w = np.pad(w, pad)
         return w
 
+    head_w = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])
     params = {
         "embed_tokens": {"embedding": pad_vocab(sd["model.embed_tokens.weight"])},
         "final_norm": {"scale": sd["model.norm.weight"]},
-        "lm_head": {"kernel": pad_vocab(sd["lm_head.weight"], axis=0).T},
+        "lm_head": {"kernel": pad_vocab(head_w, axis=0).T},
     }
+
+    def proj(pre, name):
+        out = {"kernel": sd[f"{pre}.self_attn.{name}.weight"].T}
+        bkey = f"{pre}.self_attn.{name}.bias"
+        if bkey in sd:
+            out["bias"] = sd[bkey]
+        return out
+
     for i in range(cfg.num_layers):
         pre = f"model.layers.{i}"
         params[f"layer_{i}"] = {
             "input_norm": {"scale": sd[f"{pre}.input_layernorm.weight"]},
             "post_attn_norm": {"scale": sd[f"{pre}.post_attention_layernorm.weight"]},
             "attn": {
-                "q_proj": {"kernel": sd[f"{pre}.self_attn.q_proj.weight"].T},
-                "k_proj": {"kernel": sd[f"{pre}.self_attn.k_proj.weight"].T},
-                "v_proj": {"kernel": sd[f"{pre}.self_attn.v_proj.weight"].T},
-                "o_proj": {"kernel": sd[f"{pre}.self_attn.o_proj.weight"].T},
+                "q_proj": proj(pre, "q_proj"),
+                "k_proj": proj(pre, "k_proj"),
+                "v_proj": proj(pre, "v_proj"),
+                "o_proj": proj(pre, "o_proj"),
             },
             "mlp": {
                 "gate_proj": {"kernel": sd[f"{pre}.mlp.gate_proj.weight"].T},
@@ -273,6 +300,11 @@ def convert_llama_hf(sd: dict, cfg) -> dict:
             },
         }
     return params
+
+
+# Qwen2 is llama-layout plus q/k/v biases; the same converter handles it
+# (cfg.attention_bias selects the flavor).
+convert_qwen2_hf = convert_llama_hf
 
 
 def quantize_llama_int8(params: dict) -> dict:
@@ -637,6 +669,71 @@ def convert_clip_vit_hf(sd: dict, cfg, prefix: str = "vision_model.") -> dict:
     return params
 
 
+def convert_siglip_vit_hf(sd: dict, cfg, prefix: str = "vision_model.") -> dict:
+    """HF ``SiglipVisionModel`` weights → :class:`EvaViT` params.
+
+    The VideoLLaMA2.1 vision tower (``requirements_videoLLaMA.txt:1`` —
+    the audio_visual branch builds SigLIP-so400m at 384²).  SigLIP's
+    layout is CLIP-like but with NO class embedding (config:
+    ``use_class_token=False``), gelu_pytorch_tanh MLPs (config:
+    ``mlp_act="gelu_tanh"``), and position embeddings covering patch
+    tokens only.  The final ``post_layernorm`` and the attention-pooling
+    ``head`` are dropped, like the CLIP converter: VideoLLaMA2's tower
+    consumes encoder hidden states, and normalization happens in the
+    consumer."""
+    if getattr(cfg, "use_class_token", True):
+        raise ValueError(
+            "SigLIP towers have no class token — build the ViTConfig with "
+            "use_class_token=False (see videollama21_av_config)"
+        )
+    g = lambda name: sd[f"{prefix}{name}"]
+    heads = cfg.num_heads
+    width = cfg.width
+    p = cfg.patch_size
+
+    conv = g("embeddings.patch_embedding.weight")  # (D, 3, p, p)
+    params = {
+        "patch_embed": {
+            "kernel": conv.transpose(2, 3, 1, 0).reshape(p * p * 3, width),
+            "bias": g("embeddings.patch_embedding.bias"),
+        },
+        "pos_embed": g("embeddings.position_embedding.weight")[None],
+    }
+    for i in range(cfg.depth):
+        pre = f"encoder.layers.{i}"
+        params[f"block_{i}"] = {
+            "norm1": {"LayerNorm_0": {
+                "scale": g(f"{pre}.layer_norm1.weight"),
+                "bias": g(f"{pre}.layer_norm1.bias"),
+            }},
+            "norm2": {"LayerNorm_0": {
+                "scale": g(f"{pre}.layer_norm2.weight"),
+                "bias": g(f"{pre}.layer_norm2.bias"),
+            }},
+            "attn": {
+                "q": {"kernel": _heads(g(f"{pre}.self_attn.q_proj.weight"), heads),
+                      "bias": _heads_bias(g(f"{pre}.self_attn.q_proj.bias"), heads)},
+                "k": {"kernel": _heads(g(f"{pre}.self_attn.k_proj.weight"), heads),
+                      "bias": _heads_bias(g(f"{pre}.self_attn.k_proj.bias"), heads)},
+                "v": {"kernel": _heads(g(f"{pre}.self_attn.v_proj.weight"), heads),
+                      "bias": _heads_bias(g(f"{pre}.self_attn.v_proj.bias"), heads)},
+                "out": {
+                    "kernel": g(f"{pre}.self_attn.out_proj.weight").T.reshape(
+                        heads, width // heads, width
+                    ),
+                    "bias": g(f"{pre}.self_attn.out_proj.bias"),
+                },
+            },
+            "mlp": {
+                "fc1": {"kernel": g(f"{pre}.mlp.fc1.weight").T,
+                        "bias": g(f"{pre}.mlp.fc1.bias")},
+                "fc2": {"kernel": g(f"{pre}.mlp.fc2.weight").T,
+                        "bias": g(f"{pre}.mlp.fc2.bias")},
+            },
+        }
+    return params
+
+
 # ---------------------------------------------------------------------------
 # VideoLLaMA2-AV (single merged checkpoint)
 # ---------------------------------------------------------------------------
@@ -659,15 +756,26 @@ def convert_videollama(sd: dict, cfg) -> dict:
       :func:`convert_beats`;
     * ``model.mm_projector_a.{readout.}{0,2}.*`` — audio projector MLP →
       ``audio_proj.fc1/fc2``;
-    * ``model.embed_tokens/layers/norm`` + ``lm_head`` — HF llama/mistral
-      layout LLM → :func:`convert_llama_hf` (qkv bias variants such as
-      Qwen2 are not supported and raise).
+    * ``model.embed_tokens/layers/norm`` + ``lm_head`` — HF llama-layout
+      LLM → :func:`convert_llama_hf`: llama/vicuna/mistral, and Qwen2
+      (q/k/v biases; requires ``cfg.llm.attention_bias`` — the
+      VideoLLaMA2.1 decoder flavor).
+
+    The vision tower routes by layout: a ``class_embedding`` key means a
+    CLIP tower (:func:`convert_clip_vit_hf`), its absence a SigLIP tower
+    (:func:`convert_siglip_vit_hf`, VideoLLaMA2.1) — so the 2.1-AV
+    checkpoint is config-only (``videollama21_av_config``).
     """
     params: dict = {}
 
     vision_prefix = "model.vision_tower.vision_tower.vision_model."
     if any(k.startswith(vision_prefix) for k in sd):
-        params["vit"] = convert_clip_vit_hf(sd, cfg.vit, prefix=vision_prefix)
+        if f"{vision_prefix}embeddings.class_embedding" in sd:
+            params["vit"] = convert_clip_vit_hf(sd, cfg.vit, prefix=vision_prefix)
+        else:
+            params["vit"] = convert_siglip_vit_hf(
+                sd, cfg.vit, prefix=vision_prefix
+            )
 
     audio_prefix = "model.audio_tower."
     audio_sd = {k[len(audio_prefix):]: v for k, v in sd.items() if k.startswith(audio_prefix)}
@@ -700,14 +808,5 @@ def convert_videollama(sd: dict, cfg) -> dict:
         params["audio_proj"] = audio_proj
 
     if "model.embed_tokens.weight" in sd:
-        bias_keys = [
-            k for k in sd
-            if k.startswith("model.layers.") and k.endswith("proj.bias")
-        ]
-        if bias_keys:
-            raise ValueError(
-                "checkpoint has attention-projection biases (Qwen2-style); "
-                "only llama/mistral-layout LLMs are supported"
-            )
         params["llm"] = convert_llama_hf(sd, cfg.llm)
     return params

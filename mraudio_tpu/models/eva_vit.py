@@ -39,6 +39,23 @@ from mraudio_tpu.config import ViTConfig
 from mraudio_tpu.models.layers import Attention, LayerNormFp32, Mlp
 
 
+def _vit_activation(name: str):
+    """Tower-flavor MLP activations (ViTConfig.mlp_act): EVA uses exact
+    gelu, CLIP towers quick_gelu, SigLIP towers (VideoLLaMA2.1)
+    gelu_pytorch_tanh."""
+    import functools
+
+    if name == "gelu":
+        from mraudio_tpu.models.layers import gelu_exact
+
+        return gelu_exact
+    if name == "quick_gelu":
+        return lambda x: x * nn.sigmoid(1.702 * x)
+    if name == "gelu_tanh":
+        return functools.partial(nn.gelu, approximate=True)
+    raise ValueError(f"unknown ViTConfig.mlp_act {name!r}")
+
+
 class ViTBlock(nn.Module):
     cfg: ViTConfig
     dtype: jnp.dtype
@@ -50,7 +67,8 @@ class ViTBlock(nn.Module):
         h = Attention(num_heads=cfg.num_heads, dtype=self.dtype, name="attn")(h)
         x = x + h
         h = LayerNormFp32(epsilon=cfg.layer_norm_eps, name="norm2")(x)
-        h = Mlp(hidden_dim=cfg.mlp_dim, dtype=self.dtype, name="mlp")(h)
+        h = Mlp(hidden_dim=cfg.mlp_dim, dtype=self.dtype, name="mlp",
+                activation=_vit_activation(cfg.mlp_act))(h)
         return x + h
 
 

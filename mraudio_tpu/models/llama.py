@@ -98,6 +98,10 @@ class LlamaLinear(nn.Module):
     lora: Optional[LoraConfig] = None
     lora_target: bool = False
     quantize_ok: bool = True
+    # Qwen2-family q/k/v biases (cfg.attention_bias); the bias rides in
+    # fp32 next to any quantized kernel and adds after the matmul, so
+    # every quantization path supports it unchanged.
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -245,6 +249,12 @@ class LlamaLinear(nn.Module):
                 preferred_element_type=jnp.float32,
             ).astype(dtype)
 
+        if self.use_bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + b.astype(y.dtype)
+
         if self.lora is not None and self.lora.enabled and self.lora_target:
             r = self.lora.rank
             a = self.param(
@@ -279,6 +289,9 @@ class LlamaAttention(nn.Module):
             return LlamaLinear(
                 feats, cfg, lora=self.lora,
                 lora_target=target and name in (self.lora.target_modules if self.lora else ()),
+                # Qwen2 flavor: biases on q/k/v only, o_proj bias-free
+                use_bias=cfg.attention_bias
+                and name in ("q_proj", "k_proj", "v_proj"),
                 name=name,
             )
 

