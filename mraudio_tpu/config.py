@@ -275,6 +275,13 @@ class XInstructBLIPConfig(_ConfigBase):
     """Assembly config (hardcoded block of ``models/xinstructblip.py:68-77``
     + the documented schema of ``models/vicuna7b_v2.yaml``)."""
 
+    # The documented schema covers the upstream X-InstructBLIP modality
+    # set — "audio", "video", "image", "pc" (``models/vicuna7b_v2.yaml:
+    # 15-51`` carries image/pc encoder+qformer entries).  The live
+    # reference CODE binds only audio+video (``models/xinstructblip.py:
+    # 206-209`` — MODALITY_TO_CUE has no image/pc, and the MR data path
+    # never produces them), so the model accepts the schema but raises a
+    # clear error if an image/pc modality is actually enabled.
     modalities: tuple = ("audio", "video")
     interleave_seconds: bool = True
     enumerate_inputs: bool = False

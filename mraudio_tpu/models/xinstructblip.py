@@ -145,6 +145,22 @@ class XInstructBLIP:
         qformer_tokenizer=None,
     ):
         self.cfg = cfg
+        known = {"audio", "video", "image", "pc"}
+        schema_only = [m for m in cfg.modalities if m in ("image", "pc")]
+        unknown = [m for m in cfg.modalities if m not in known]
+        if unknown:
+            raise ValueError(f"unknown modalities {unknown}; schema covers "
+                             f"{sorted(known)}")
+        if schema_only:
+            # vicuna7b_v2.yaml documents image/pc entries, but the
+            # reference CODE binds only audio+video (MODALITY_TO_CUE,
+            # models/xinstructblip.py:206-209) and the MR data path never
+            # produces them — schema accepted, behavior absent upstream.
+            raise ValueError(
+                f"modalities {schema_only} exist in the reference's YAML "
+                "schema but have no live code path in the reference (or "
+                "here); use audio/video"
+            )
         self.audio_cfg = audio_cfg or AudioFrontendConfig()
         self.llm_tokenizer = llm_tokenizer or ByteTokenizer(cfg.llm.vocab_size)
         # fallback tokenizer ids must stay inside the Q-Former embed table

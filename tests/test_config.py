@@ -51,3 +51,21 @@ def test_audio_frontend_geometry():
     assert cfg.audio.win_length == 400
     assert cfg.audio.hop_length == 160
     assert cfg.audio.mel_frames_per_chunk == 512
+
+
+def test_modalities_schema_accepts_4_rejects_live_image_pc():
+    """vicuna7b_v2.yaml documents image/pc modalities; the reference CODE
+    binds only audio+video — config carries the schema, the model raises
+    a clear error when a schema-only modality is enabled."""
+    import pytest
+
+    from mraudio_tpu.config import tiny_data_config, tiny_model_config
+    from mraudio_tpu.models.xinstructblip import XInstructBLIP
+
+    cfg = tiny_model_config().replace(modalities=("audio", "video", "image"))
+    assert cfg.modalities == ("audio", "video", "image")  # schema accepts
+    with pytest.raises(ValueError, match="no live code path"):
+        XInstructBLIP(cfg, audio_cfg=tiny_data_config().audio)
+    with pytest.raises(ValueError, match="unknown modalities"):
+        XInstructBLIP(tiny_model_config().replace(modalities=("thermal",)),
+                      audio_cfg=tiny_data_config().audio)
