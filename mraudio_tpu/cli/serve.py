@@ -83,7 +83,12 @@ def encode_request_stream(model, params, dataset, limit=None,
             jnp.asarray(text.prompt_ids), jnp.asarray(text.prompt_mask),
             n_frms=batch.timestamps.shape[1],
         )
-        mask_h = np.asarray(mask)
+        # host-derived mask (identical to the device `mask` — tested):
+        # reading the device mask back would SYNC on the encode dispatch
+        # and everything queued before it, serializing every encode
+        # group against in-flight decode; host-side the encode dispatch
+        # stays fully async and rides the device queue
+        mask_h = model.prefix_mask_host(text, batch.timestamps.shape[1])
         for k, i in enumerate(idx):
             # device_embeds=True: embeds stay DEVICE-resident (the engine
             # stacks them on device at admission) — reading the (S, 4096)
@@ -322,11 +327,14 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         # the failed encode dispatch once.  Completions surfaced during
         # the drain are handled normally.
         def _drain_for_encode():
+            import gc
+
             while engine.admission_pending():
                 engine.admission_step()
             while engine.active.any() or engine._inflight:
                 for completion in engine.step():
                     handle(completion)
+            gc.collect()  # drop just-freed device buffers before retrying
 
         stream_obj.oom_recover = _drain_for_encode
 
@@ -340,10 +348,15 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
     while (pending or request_stream is not None or engine.active.any()
            or engine.admission_pending() or engine._inflight):
         if (request_stream is not None
-                and len(pending) < engine.max_prefill_batch):
+                and len(pending) < engine.max_prefill_batch
+                and not engine.admission_pending()):
             # encode ahead (at most one admission batch): the encoder
             # dispatch interleaves with the in-flight decode dispatches
-            # on the device queue, so its host round trips overlap decode
+            # on the device queue, so its host round trips overlap decode.
+            # NEVER while an admission is in flight: the encoder's
+            # activation temps next to the admission's full-prefix batch
+            # cache (~1.4 GB/row at QVH full size) exceed a 16 GB chip —
+            # measured as a hard OOM on every run, not allocator variance.
             t0 = time.time()
             item = next(request_stream, None)
             inline_encode_s += time.time() - t0

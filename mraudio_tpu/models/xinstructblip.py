@@ -513,6 +513,32 @@ class XInstructBLIP:
         prefix_mask = jnp.concatenate([frame_mask, dur_mask], axis=1)
         return prefix, prefix_mask
 
+    def prefix_mask_host(self, text, n_frms: int) -> np.ndarray:
+        """Host-side twin of the mask ``_prefix_and_prompt`` returns.
+
+        The interleave mask is fully determined by the text masks plus
+        static token counts (cue lengths, query-token count), so a
+        caller that only needs the mask (the serving encode stage) can
+        compute it without syncing on the device dispatch — removing
+        the one host<->device sync in the encode path."""
+        cfg = self.cfg
+        b = text.prompt_mask.shape[0]
+        t = n_frms
+        parts = []
+        for m in ("video", "audio"):
+            if m in cfg.modalities:
+                parts += [
+                    np.ones((b, t, len(self.cue_ids[m])), np.int32),
+                    np.ones((b, t, cfg.qformer.num_query_tokens), np.int32),
+                ]
+        if cfg.interleave_seconds:
+            parts.append(np.asarray(text.ts_mask, np.int32))
+        frame = np.concatenate(parts, axis=2).reshape(b, -1)
+        return np.concatenate(
+            [frame, np.asarray(text.dur_mask, np.int32),
+             np.asarray(text.prompt_mask, np.int32)], axis=1,
+        )
+
     # ------------------------------------------------------------------
     # Public entry points
     # ------------------------------------------------------------------

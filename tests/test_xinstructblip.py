@@ -208,3 +208,43 @@ def test_chunked_ce_equals_dense(model_and_params):
     tok = jnp.take_along_axis(lp, safe[..., None], axis=-1)[..., 0]
     dense = float(-(tok * valid).sum() / jnp.maximum(valid.sum(), 1))
     assert chunked == pytest.approx(dense, rel=1e-5)
+
+
+def test_prefix_mask_host_matches_device():
+    """The serving encode path derives the prefix mask host-side
+    (no sync on the encode dispatch); it must equal the device mask
+    from _prefix_and_prompt bit for bit, including padded timestamp
+    slots and left-padded prompts of uneven length."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mraudio_tpu.config import tiny_data_config, tiny_model_config
+    from mraudio_tpu.data.dataset import MRDataset, collate
+    from mraudio_tpu.models.xinstructblip import XInstructBLIP
+
+    data_cfg = tiny_data_config(n_frms=3)
+    model = XInstructBLIP(tiny_model_config(), audio_cfg=data_cfg.audio)
+    params = model.init_params(jax.random.PRNGKey(0))
+    anns = [
+        {"vid": "a", "qid": 0, "query": "short", "duration": 90,
+         "relevant_windows": [[1, 5]]},
+        {"vid": "b", "qid": 1, "query": "a much longer query string here",
+         "duration": 1507, "relevant_windows": [[2, 9]]},
+    ]
+    ds = MRDataset(data_cfg, annotations=anns)
+    batch = collate([ds.get(i) for i in range(2)], 2)
+    text = model.prepare_text(
+        batch.text_input, np.asarray(batch.timestamps), batch.duration
+    )
+    _, dev_mask = model._prefix_and_prompt(
+        params,
+        jnp.asarray(model._wire_video(batch.video)), jnp.asarray(batch.audio),
+        jnp.asarray(text.qformer_ids), jnp.asarray(text.qformer_mask),
+        jnp.asarray(text.ts_ids), jnp.asarray(text.ts_mask),
+        jnp.asarray(text.dur_ids), jnp.asarray(text.dur_mask),
+        jnp.asarray(text.prompt_ids), jnp.asarray(text.prompt_mask),
+        n_frms=3,
+    )
+    host = model.prefix_mask_host(text, 3)
+    np.testing.assert_array_equal(np.asarray(dev_mask), host)
