@@ -51,6 +51,7 @@ def encode_request_stream(model, params, dataset, limit=None,
     decode dispatch (measured) — host batches are plain numpy and queue
     safely in host RAM.  0 = fully synchronous.  Record-identical either
     way (single worker, FIFO)."""
+    import jax
     import jax.numpy as jnp
 
     from mraudio_tpu.data.dataset import collate
@@ -68,15 +69,27 @@ def encode_request_stream(model, params, dataset, limit=None,
                 batch.text_input, np.asarray(batch.timestamps),
                 batch.duration,
             )
-            yield idx, batch, text
+            # Issue the BULK input uploads here (async device_put): when
+            # this generator runs in the prefetch worker, the ~9 MB of
+            # uint8 frames + int16 waveform per request ride the wire
+            # while the serve loop's device work (decode dispatches,
+            # admission chunks) is in flight, instead of serializing in
+            # front of the encoder dispatch — on a remote-attached device
+            # the input transfer is most of the encode stage's cost.
+            # Unlike prefetching whole encoded requests (~44 MB HBM each,
+            # measured OOM), input buffers are ~18 MB/group and at most
+            # two groups are ever in flight.
+            dev = (jax.device_put(batch.video), jax.device_put(batch.audio))
+            yield idx, batch, text, dev
 
     groups = (_PrefetchedStream(host_batches(), host_ahead)
               if host_ahead > 0 else host_batches())
 
-    def device_stage(idx, batch, text):
+    def device_stage(idx, batch, text, dev):
+        dev_video, dev_audio = dev
         embeds, mask = model._prefix_and_prompt(
             params,
-            jnp.asarray(batch.video), jnp.asarray(batch.audio),
+            dev_video, dev_audio,
             jnp.asarray(text.qformer_ids), jnp.asarray(text.qformer_mask),
             jnp.asarray(text.ts_ids), jnp.asarray(text.ts_mask),
             jnp.asarray(text.dur_ids), jnp.asarray(text.dur_mask),
