@@ -623,6 +623,9 @@ def run_serve(profile: str = "serve") -> dict:
     mode = env("MODE", "inline")
     encode_batch = int(env("ENCODE_BATCH", "0")) or mpb or slots
     encode_ahead = int(env("AHEAD", "1"))  # host-stage groups prefetched
+    # UPLOAD=1: prefetch worker also device_puts input buffers ahead —
+    # opt-in, measured to OOM the full-size config (cli/serve.py)
+    upload_ahead = env("UPLOAD", "0") == "1"
 
     model_cfg, data_cfg, _, _ = make_profile("tiny" if tiny else "full")
     if kv_keep:
@@ -648,7 +651,7 @@ def run_serve(profile: str = "serve") -> dict:
             stream = encode_request_stream(
                 model, params, ds, limit=n_requests,
                 device_embeds=True, encode_batch=encode_batch,
-                host_ahead=encode_ahead,
+                host_ahead=encode_ahead, upload_ahead=upload_ahead,
             )
             _, stats = serve(
                 model, params, None, slots, model_cfg.max_new_tokens,
@@ -662,7 +665,8 @@ def run_serve(profile: str = "serve") -> dict:
             reqs = encode_requests(model, params, ds, limit=n_requests,
                                    device_embeds=False,
                                    encode_batch=encode_batch,
-                                   host_ahead=encode_ahead)
+                                   host_ahead=encode_ahead,
+                                   upload_ahead=upload_ahead)
             encode_s = _time.time() - t0
             _, stats = serve(
                 model, params, reqs, slots, model_cfg.max_new_tokens,

@@ -28,7 +28,7 @@ logger = logging.getLogger("mraudio_tpu")
 
 def encode_request_stream(model, params, dataset, limit=None,
                           device_embeds=True, encode_batch=1,
-                          host_ahead=1):
+                          host_ahead=1, upload_ahead=False):
     """Per-annotation prefix embeds via the model's fused encoder pass,
     yielded one at a time so the serve loop can interleave encodes with
     in-flight decode dispatches (``--encode-mode inline``).
@@ -69,23 +69,39 @@ def encode_request_stream(model, params, dataset, limit=None,
                 batch.text_input, np.asarray(batch.timestamps),
                 batch.duration,
             )
-            # Issue the BULK input uploads here (async device_put): when
-            # this generator runs in the prefetch worker, the ~9 MB of
-            # uint8 frames + int16 waveform per request ride the wire
-            # while the serve loop's device work (decode dispatches,
-            # admission chunks) is in flight, instead of serializing in
-            # front of the encoder dispatch — on a remote-attached device
-            # the input transfer is most of the encode stage's cost.
-            # Unlike prefetching whole encoded requests (~44 MB HBM each,
-            # measured OOM), input buffers are ~18 MB/group and at most
-            # two groups are ever in flight.
-            dev = (jax.device_put(batch.video), jax.device_put(batch.audio))
+            # upload_ahead: issue the BULK input uploads here (async
+            # device_put) — when this generator runs in the prefetch
+            # worker, the ~9 MB of uint8 frames + int16 waveform per
+            # request ride the wire while the serve loop's device work
+            # (decode dispatches, admission chunks) is in flight, instead
+            # of serializing in front of the encoder dispatch.  OPT-IN
+            # and off by default: the full-size deployable config runs
+            # within tens of MB of the 16 GB line during decode, and
+            # even the ~18 MB/group of early-resident input buffers was
+            # measured to RESOURCE_EXHAUSTED a run — and a worker-thread
+            # OOM bypasses the loop's drain-and-retry recovery, so on
+            # failure we fall back to lazy upload (device_stage), which
+            # that recovery does cover.
+            dev = None
+            if upload_ahead:
+                try:
+                    dev = (jax.device_put(batch.video),
+                           jax.device_put(batch.audio))
+                except Exception as e:
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    logger.warning(
+                        "upload-ahead device_put RESOURCE_EXHAUSTED; "
+                        "falling back to lazy upload for this group"
+                    )
             yield idx, batch, text, dev
 
     groups = (_PrefetchedStream(host_batches(), host_ahead)
               if host_ahead > 0 else host_batches())
 
     def device_stage(idx, batch, text, dev):
+        if dev is None:
+            dev = (jnp.asarray(batch.video), jnp.asarray(batch.audio))
         dev_video, dev_audio = dev
         embeds, mask = model._prefix_and_prompt(
             params,
@@ -192,7 +208,7 @@ class _EncodeStream:
 
 
 def encode_requests(model, params, dataset, limit=None, device_embeds=False,
-                    encode_batch=1, host_ahead=1):
+                    encode_batch=1, host_ahead=1, upload_ahead=False):
     """Upfront (fully pre-encoded) request list — host-resident embeds by
     default (see ``encode_request_stream`` on the HBM trade).  The host-
     stage prefetch helps here too: group k+1's synthesis/tokenize runs
@@ -200,6 +216,7 @@ def encode_requests(model, params, dataset, limit=None, device_embeds=False,
     return list(encode_request_stream(
         model, params, dataset, limit=limit, device_embeds=device_embeds,
         encode_batch=encode_batch, host_ahead=host_ahead,
+        upload_ahead=upload_ahead,
     ))
 
 
@@ -533,6 +550,16 @@ def main(argv=None):
                         "resident prefixes are buffered (one extra "
                         "prefix OOMs the full-size deployable config — "
                         "measured).  0 = fully synchronous")
+    parser.add_argument("--upload-ahead", type=int, default=0,
+                        help="1 = the prefetch worker also issues the "
+                        "async device_put of each group's video/audio "
+                        "input buffers (~18 MB/group), overlapping the "
+                        "wire transfer with in-flight device work.  Off "
+                        "by default: the full-size deployable config "
+                        "runs within tens of MB of the 16 GB line and "
+                        "the extra resident buffers were measured to "
+                        "OOM a run (worker falls back to lazy upload "
+                        "when the device_put itself fails)")
     parser.add_argument("--embeds", default="auto",
                         choices=["auto", "host", "device"],
                         help="where encoded prefix embeds live between "
@@ -582,14 +609,16 @@ def main(argv=None):
         requests = encode_requests(model, params, dataset, limit=limit,
                                    device_embeds=device_embeds,
                                    encode_batch=encode_batch,
-                                   host_ahead=args.encode_ahead)
+                                   host_ahead=args.encode_ahead,
+                                   upload_ahead=bool(args.upload_ahead))
         encode_s = time.time() - t_enc
 
     def run(slots):
         stream = (encode_request_stream(model, params, dataset, limit=limit,
                                         device_embeds=device_embeds,
                                         encode_batch=encode_batch,
-                                        host_ahead=args.encode_ahead)
+                                        host_ahead=args.encode_ahead,
+                                        upload_ahead=bool(args.upload_ahead))
                   if inline else None)
         return serve(model, params, requests, slots,
                      model.cfg.max_new_tokens,
