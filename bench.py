@@ -696,14 +696,22 @@ def run_serve(profile: str = "serve") -> dict:
             st = one_run()
             if r >= warmups:
                 all_stats.append(st)
+            print(f"serve run {r}{' (warmup)' if r < warmups else ''}: "
+                  f"{st['requests_per_sec']} req/s p95={st['latency_p95_s']}",
+                  file=__import__("sys").stderr, flush=True)
         except jax.errors.JaxRuntimeError as e:
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
             if r == warmups + repeat - 1 and not all_stats:
                 raise
             print(f"serve repeat {r} ResourceExhausted; continuing",
-                  file=__import__("sys").stderr)
-            gc.collect()
+                  file=__import__("sys").stderr, flush=True)
+        # Every iteration, success or not: serve() closes the engine's
+        # device state explicitly, but stream/request objects still hold
+        # device-resident prefix embeds in cycles — collect before the
+        # next run builds its engine against a chip tens of MB from the
+        # 16 GB line.
+        gc.collect()
     rates = sorted(st["requests_per_sec"] for st in all_stats)
     median_rate = rates[len(rates) // 2]  # lower median: the run exists
     stats = next(st for st in all_stats

@@ -475,6 +475,11 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
             round(decode_s / decode_steps, 4) if decode_steps else 0.0
         ),
     }
+    # Free the engine's device state before returning: the jit closures
+    # form a reference cycle, and a sweep/bench building the next engine
+    # would otherwise OOM against this one's ghost slot cache (see
+    # ContinuousBatcher.close).
+    engine.close()
     return records, stats
 
 

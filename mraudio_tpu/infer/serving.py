@@ -647,6 +647,27 @@ class ContinuousBatcher:
                 self.lengths[i] += accept
         return completions
 
+    def close(self):
+        """Release device state NOW — slot cache, decode row state, any
+        in-flight admission — and drop the jit wrappers.
+
+        The jitted callables close over bound methods of ``self``, so an
+        engine instance is a reference CYCLE: dropping the last external
+        reference does not free it until a cyclic-GC pass, and until
+        then the multi-GB slot cache stays resident.  A driver that
+        builds engines back-to-back (serve sweeps, bench repeats) OOMs
+        the next engine's first encode against the previous engine's
+        ghost cache (measured at the full-size deployable config, where
+        the chip runs within tens of MB of the 16 GB line).  The engine
+        is unusable after ``close``."""
+        self._inflight.clear()
+        self._chunk_jits.clear()
+        self._admission = None
+        for name in ("cache", "dvalid", "dpos", "dlen", "dcur", "_finish",
+                     "_decode_window", "_decode_spec", "_write_slots",
+                     "_admit_rows"):
+            setattr(self, name, None)
+
     def run_to_completion(self) -> list[Completion]:
         out = []
         while self._admission is not None:
