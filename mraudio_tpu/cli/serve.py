@@ -281,7 +281,8 @@ class _PrefetchedStream:
 def serve(model, params, requests, max_slots: int, max_new_tokens: int,
           max_prefill_batch: int = 0, steps_per_dispatch: int = 1,
           spec_width: int = 1, pipeline_depth: int = 2,
-          encode_s: float = 0.0, request_stream=None, encode_batch: int = 1):
+          encode_s: float = 0.0, request_stream=None, encode_batch: int = 1,
+          engine_cache: dict | None = None):
     """Run the stream through the engine; returns (records, stats).
 
     ``requests`` is a pre-encoded list (upfront mode: encoder time is
@@ -325,14 +326,33 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
             "encode_mode": "inline" if inline else "upfront",
         }
     prefix_len = pending[0][0].prefix_embeds.shape[0]
-    engine = ContinuousBatcher(
-        model.llm, {"params": params["llm"]}, prefix_len,
-        max_new_tokens, model.llm_tokenizer.eos_token_id, max_slots=max_slots,
-        max_prefill_batch=max_prefill_batch,
-        steps_per_dispatch=steps_per_dispatch,
-        spec_width=spec_width,
-        pipeline_depth=pipeline_depth,
-    )
+    # engine_cache: a caller-owned dict that keeps ONE engine alive
+    # across serve() calls (a production process serves forever with one
+    # engine; measurement drivers that rebuilt it per run re-paid the
+    # per-instance jit re-trace + compile-cache deserialization, ~20 s
+    # of a 45 s run).  Reused only when every engine-shaping knob
+    # matches; otherwise the old engine is closed and rebuilt.
+    engine_key = (prefix_len, max_new_tokens, max_slots, max_prefill_batch,
+                  steps_per_dispatch, spec_width, pipeline_depth)
+    engine = None
+    if engine_cache is not None and engine_cache.get("key") == engine_key:
+        engine = engine_cache["engine"]
+        engine.reset()
+    if engine is None:
+        if engine_cache is not None and "engine" in engine_cache:
+            engine_cache.pop("engine").close()
+        engine = ContinuousBatcher(
+            model.llm, {"params": params["llm"]}, prefix_len,
+            max_new_tokens, model.llm_tokenizer.eos_token_id,
+            max_slots=max_slots,
+            max_prefill_batch=max_prefill_batch,
+            steps_per_dispatch=steps_per_dispatch,
+            spec_width=spec_width,
+            pipeline_depth=pipeline_depth,
+        )
+        if engine_cache is not None:
+            engine_cache["key"] = engine_key
+            engine_cache["engine"] = engine
 
     submit_time, records = {}, []
     t_start = time.time() - prime_s  # the priming encode is serving time
@@ -475,11 +495,13 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
             round(decode_s / decode_steps, 4) if decode_steps else 0.0
         ),
     }
-    # Free the engine's device state before returning: the jit closures
-    # form a reference cycle, and a sweep/bench building the next engine
-    # would otherwise OOM against this one's ghost slot cache (see
+    # Free the engine's device state before returning (unless the caller
+    # keeps it alive via engine_cache): the jit closures form a reference
+    # cycle, and a sweep/bench building the next engine would otherwise
+    # OOM against this one's ghost slot cache (see
     # ContinuousBatcher.close).
-    engine.close()
+    if engine_cache is None:
+        engine.close()
     return records, stats
 
 

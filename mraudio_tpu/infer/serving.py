@@ -647,6 +647,30 @@ class ContinuousBatcher:
                 self.lengths[i] += accept
         return completions
 
+    def reset(self):
+        """Return the engine to an idle, empty state WITHOUT dropping the
+        jit wrappers or reallocating the slot cache.
+
+        A production serving process keeps ONE engine alive for its
+        lifetime; a driver that tears the engine down per measurement run
+        re-pays the per-instance jit re-trace plus compilation-cache
+        deserialization every run (~1-4 s per jitted callable through a
+        remote runtime — measured as ~20 s of a 45 s serve-bench run).
+        Slot KV needs no zeroing: admission overwrites an admitted slot's
+        cache rows and row state wholesale, and inactive slots are never
+        read (their columns sit behind ``valid``/``active`` masks)."""
+        self._inflight.clear()
+        self._admission = None
+        self._reserved[:] = False
+        self.valid[:] = 0
+        self.positions[:] = 0
+        self.lengths[:] = self.prefix_len
+        self.cur_ids[:] = 0
+        self.emitted = [[] for _ in range(self.max_slots)]
+        self.hints = [None] * self.max_slots
+        self.slot_request = [None] * self.max_slots
+        self.active[:] = False
+
     def close(self):
         """Release device state NOW — slot cache, decode row state, any
         in-flight admission — and drop the jit wrappers.

@@ -58,7 +58,12 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny decoder on CPU — script smoke test")
     ap.add_argument("--stage", default="all",
-                    choices=["all", "prefill", "engine"])
+                    choices=["all", "prefill", "engine", "decode"])
+    ap.add_argument("--window", type=int, default=1,
+                    help="decode stage: steps_per_dispatch of the timed "
+                    "decode window")
+    ap.add_argument("--decode-dispatches", type=int, default=8,
+                    help="decode stage: timed dispatches after warmup")
     args = ap.parse_args()
 
     if args.tiny:
@@ -214,6 +219,64 @@ def main():
               f"{med*1000:.0f} ms (compile+1st {comp:.1f}s)  "
               f"all={['%.2f' % t for t in all_t]}", flush=True)
         results["engine_admit_s"] = best
+
+    if args.stage == "decode":
+        # ---- 5: the decode window in isolation, queue idle — the twin
+        # of stage 4 for the serve loop's OTHER half.  The loop's
+        # decode_s is queue-attributed (it absorbs whatever device work
+        # is in flight under the awaited readback), so the honest
+        # per-token device cost needs an idle-chip chained measurement:
+        # dispatch k+1 consumes dispatch k's donated outputs exactly as
+        # the engine does, block_until_ready between dispatches.
+        from mraudio_tpu.infer.serving import ContinuousBatcher, Request
+
+        engine = ContinuousBatcher(
+            model_keep if args.kv_keep else model_nokeep, params,
+            prefix_len=s, max_new_tokens=args.budget,
+            eos_id=2, max_slots=args.slots, max_prefill_batch=b,
+            steps_per_dispatch=args.window,
+        )
+        reqs = [
+            Request(request_id=i, prefix_embeds=x[i % b],
+                    prefix_mask=mask01[i % b])
+            for i in range(args.slots)
+        ]
+        admitted = 0
+        while admitted < args.slots:
+            admitted += engine.submit_many(reqs[admitted:])
+        jax.block_until_ready(engine.cache)
+        active = jnp.asarray(engine.active)
+        state = (engine.cache, engine.dcur, engine.dpos, engine.dvalid,
+                 engine.dlen)
+
+        def dispatch(state):
+            out = engine._decode_window(engine.params, *state, active)
+            # sync via VALUE readback, not block_until_ready: the decode
+            # window donates its big inputs, so every large output
+            # aliases an input buffer, and on this remote backend
+            # block_until_ready on aliased outputs returns immediately
+            # (measured: "1.7 ms" for a dispatch whose weight reads
+            # alone cost ~8 ms).  A D2H copy of dcur (written by the
+            # last micro-step) cannot complete before the execution does.
+            np.asarray(out[1])
+            return out[:5], out[5]
+
+        t0 = time.perf_counter()
+        state, _ = dispatch(state)          # compile + warm
+        comp = time.perf_counter() - t0
+        times = []
+        for _ in range(args.decode_dispatches):
+            t0 = time.perf_counter()
+            state, _ = dispatch(state)
+            times.append(time.perf_counter() - t0)
+        best, med = min(times), sorted(times)[len(times) // 2]
+        K = args.window
+        print(f"decode window K={K}, slots={args.slots} "
+              f"(slot_prefix={engine.slot_prefix}, max_len={engine.max_len}): "
+              f"best {best*1000:.1f} ms / med {med*1000:.1f} ms per dispatch "
+              f"= {med*1000/K:.1f} ms/token-row (compile+1st {comp:.1f}s)  "
+              f"all={['%.3f' % t for t in times]}", flush=True)
+        results["decode_dispatch_s"] = med
 
     if ("prefill_keep_s" in results and "prefill_nokeep_match_s" in results
             and "engine_admit_s" in results):

@@ -127,6 +127,49 @@ def test_interleaved_admission_matches_drained(setup):
     assert run_interleaved() == drained
 
 
+def test_reset_reuse_token_identical(setup):
+    """``reset()`` returns a used engine to service with the SAME jit
+    wrappers (a production process keeps one engine for its lifetime;
+    rebuilding per run re-pays jit re-trace).  A reused engine must
+    produce bit-identical tokens to a fresh one — including when the
+    first service left garbage in the slot caches and row state."""
+    model, params, s, d = setup
+    max_new = 6
+    prefixes = _make_prefixes(4, s, d, seed=11)
+    reqs = [Request(i, e, m) for i, (e, m) in enumerate(prefixes)]
+
+    def run(engine, take):
+        pending, results = list(take), {}
+        while engine.active.any() or pending or engine._inflight:
+            if pending and engine.free_slots():
+                n = engine.submit_many(pending)
+                del pending[:n]
+            for c in engine.step():
+                results[c.request_id] = c.token_ids
+        return results
+
+    engine = ContinuousBatcher(
+        model, params, prefix_len=s, max_new_tokens=max_new, eos_id=2,
+        max_slots=2, max_prefill_batch=2,
+    )
+    first = run(engine, reqs)          # leaves used caches + row state
+    engine.reset()
+    again = run(engine, reqs)
+    assert again == first
+    fresh = ContinuousBatcher(
+        model, params, prefix_len=s, max_new_tokens=max_new, eos_id=2,
+        max_slots=2, max_prefill_batch=2,
+    )
+    assert run(fresh, reqs) == first
+    # reset with a DIFFERENT request set: nothing of the old run leaks
+    other = [Request(10 + i, e, m)
+             for i, (e, m) in enumerate(_make_prefixes(3, s, d, seed=23))]
+    engine.reset()
+    got = run(engine, other)
+    fresh.reset()
+    assert run(fresh, other) == got
+
+
 def test_submit_many_matches_sequential(setup):
     """Batched admission (one prefill dispatch, padded bucket, slot
     scatter) must be token-identical to one-at-a-time submits."""
