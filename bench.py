@@ -522,15 +522,19 @@ def _train_device_true(trainer, steps: int) -> dict:
         return min(ts), ts
 
     def upload():
-        dev = {k: jax.device_put(v) for k, v in frozen_enc.items()}
-        jax.block_until_ready(list(dev.values()))
+        # the real per-window path: one packed transfer + one jitted
+        # unpack (trainer._upload_encoders).  Sync via VALUE readback:
+        # unpack outputs may alias the donated buffer, and on the remote
+        # backend block_until_ready on aliased outputs does not wait.
+        dev = trainer._upload_encoders(frozen_enc)
+        np.asarray(next(iter(dev.values()))[..., :1])
         for v in dev.values():
             v.delete()
 
     upload_s, upload_all = best(upload)
 
-    dev_enc = {k: jax.device_put(v) for k, v in frozen_enc.items()}
-    jax.block_until_ready(list(dev_enc.values()))
+    dev_enc = trainer._upload_encoders(frozen_enc)
+    np.asarray(next(iter(dev_enc.values()))[..., :1])
     modal_box = [None]
 
     def encode():

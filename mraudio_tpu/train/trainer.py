@@ -140,6 +140,7 @@ class Trainer:
         elif tc.quant_frozen not in ("none", ""):
             raise ValueError(f"unknown quant_frozen={tc.quant_frozen!r}")
         self._windowed = tc.encoder_window > 0
+        self._enc_uploader = None
         if self._windowed:
             # Windowed encoder residency (train.encoder_window): the
             # frozen encoder subtree lives on HOST between windows; each
@@ -245,6 +246,25 @@ class Trainer:
             self._load_checkpoint(tc.resume_ckpt_path)
 
     # ------------------------------------------------------------------
+
+    def _upload_encoders(self, frozen_enc) -> dict:
+        """Device-put the host-resident frozen encoder subtree as ONE
+        packed transfer + one jitted unpack dispatch.
+
+        Leaf-by-leaf ``device_put`` of the ~700-leaf, 1.44 GB int8
+        subtree measured 48.6 s/window through the remote runtime
+        (~60 ms per-transfer overhead each) while the same tunnel moves
+        large buffers at ~1 GB/s — the packed path is ~2 s.  Bit-exact
+        (bitcast of the serialized bytes; tests/test_packing.py)."""
+        key = tuple(sorted(map(str, frozen_enc)))
+        if self._enc_uploader is None or self._enc_uploader[0] != key:
+            from mraudio_tpu.utils.packing import make_packed_uploader
+
+            upload, nbytes = make_packed_uploader(frozen_enc)
+            logger.info("packed encoder subtree: %.2f GB, one transfer",
+                        nbytes / 2**30)
+            self._enc_uploader = (key, upload)
+        return self._enc_uploader[1]()
 
     def _split_frozen_encoders(self):
         """(frozen_encoder_flat, frozen_rest_flat) when the model's
@@ -402,11 +422,12 @@ class Trainer:
         frozen = self.frozen
         if self._windowed:
             # encoder leaves live on host between windows — upload once
-            # here rather than once per jitted generate call
-            frozen = {
-                k: jax.device_put(v) if isinstance(v, np.ndarray) else v
-                for k, v in frozen.items()
-            }
+            # here rather than once per jitted generate call (packed:
+            # one transfer + one unpack dispatch, see _upload_encoders)
+            np_part = {k: v for k, v in frozen.items()
+                       if isinstance(v, np.ndarray)}
+            if np_part:
+                frozen = {**frozen, **self._upload_encoders(np_part)}
         return merge_params(self.trainable, dequantize_frozen(frozen))
 
     # ------------------------------------------------------------------
@@ -588,7 +609,7 @@ class Trainer:
             if not pending:
                 return
             _, encode_fn, step_jit, frozen_enc, frozen_rest = pending[0][0]
-            dev_enc = {k: jax.device_put(v) for k, v in frozen_enc.items()}
+            dev_enc = self._upload_encoders(frozen_enc)
             modals = [
                 encode_fn(dev_enc, *arrays[:4], crop)
                 for _, arrays, crop, _ in pending

@@ -109,9 +109,37 @@ def mm_int8_mix(x, w, s):
     return (acc * s).astype(jnp.bfloat16)
 
 
-def mm_int8_scan(x, w, s, block=1024):
+def mm_vpu(x, w, s):
+    # broadcast-multiply-reduce: if XLA lowers this to a fused VPU
+    # streaming reduce, the weight read is HBM-bound instead of
+    # MXU-tile-load-bound; if it materializes the (B, in, out) outer
+    # product it will be catastrophically slower.  Either way, data.
+    acc = jnp.sum(
+        x.astype(jnp.float32)[:, :, None] * w.astype(jnp.float32)[None],
+        axis=1,
+    )
+    return (acc * s).astype(jnp.bfloat16)
+
+
+def mm_int8_splitk(x, w, s, g=32):
+    # split the contraction dim into g batch groups: (g, B, in/g) x
+    # (g, in/g, out) batched dot, then reduce over g — same bytes, but
+    # gives the compiler g independent tile streams to overlap.
+    b, infeat = x.shape
+    xg = x.reshape(b, g, infeat // g).transpose(1, 0, 2)
+    wg = w.reshape(g, infeat // g, w.shape[1]).astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        xg, wg, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (g, B, out)
+    return (acc.sum(0) * s).astype(jnp.bfloat16)
+
+
+def mm_int8_scan(x, w, s):
     # tile the OUTPUT columns: each block's convert is a bounded temp
-    nb = w.shape[1] // block
+    out = w.shape[1]
+    block = next(c for c in (2048, 1376, 1024, 688, 512, 256) if out % c == 0)
+    nb = out // block
     w3 = w.reshape(w.shape[0], nb, block).transpose(1, 0, 2)
     s2 = s.reshape(nb, block)
 
@@ -152,6 +180,8 @@ def main():
         "int8-dot": (jnp.int8, mm_int8_dot),
         "int8-mix": (jnp.int8, mm_int8_mix),
         "int8-scan": (jnp.int8, mm_int8_scan),
+        "int8-vpu": (jnp.int8, mm_vpu),
+        "int8-splitk": (jnp.int8, mm_int8_splitk),
     }
     for name in args.variants.split(","):
         wdtype, mm = variants[name]
