@@ -8,12 +8,17 @@ Motivation (measured, docs/ROUND4.md): uploading the 1.44 GB int8
 encoder subtree leaf-by-leaf (~700 `jax.device_put` calls) costs
 ~49 s/window through the remote runtime — ~60 ms per-transfer overhead
 dwarfs the bytes, which the same tunnel moves at ~1 GB/s for large
-buffers.  Packing the subtree into ONE uint8 buffer makes the upload a
-single transfer; a single jitted unpack (slice + bitcast + reshape per
-leaf) rebuilds the tree on device in one dispatch.
+buffers.  Packing the subtree into ONE 1-D buffer *per dtype* makes the
+upload a handful of transfers; a single jitted unpack (dynamic_slice +
+reshape per leaf) rebuilds the tree on device in one dispatch.
 
-Bit-exact: bitcast_convert_type reinterprets the very bytes that
-``pack_tree`` serialized (same little-endian layout on host and TPU).
+Bit-exact by construction: leaves are concatenated in their NATIVE
+dtypes (bf16 via the ml_dtypes numpy extension that ships with jax), so
+no bitcasting is involved.  An earlier bitcast-based design died in the
+TPU layout assigner: reinterpreting a 1.5 GB uint8 buffer as (N, 4)
+rows gives the minor dim 4 of a 128-lane tile — a 32× padded, 49 GB
+"reshape" allocation.  1-D slices + leaf-shaped reshapes have no such
+trap (leaf minor dims are real tensor dims).
 """
 
 from __future__ import annotations
@@ -25,57 +30,50 @@ import jax.numpy as jnp
 
 
 def pack_tree(tree: dict):
-    """Serialize a flat dict of host arrays into (uint8 buffer, metas).
+    """Serialize a flat dict of host arrays into per-dtype 1-D buffers.
 
-    ``metas`` is a list of ``(key, shape, dtype, offset_bytes)`` in a
-    deterministic key order.  Leaf offsets are aligned to each dtype's
-    itemsize (bitcast needs whole elements; alignment padding is
-    negligible next to the leaves)."""
-    keys = sorted(tree)
+    Returns ``(buffers, metas)``: ``buffers`` maps dtype-name → 1-D
+    numpy array in that dtype; ``metas`` is ``(key, shape, dtype_name,
+    offset_elements)`` per leaf in deterministic key order."""
+    keys = sorted(tree, key=str)
+    chunks: dict[str, list] = {}
     metas = []
-    offset = 0
+    offsets: dict[str, int] = {}
     for k in keys:
         a = np.asarray(tree[k])
-        item = a.dtype.itemsize
-        offset = (offset + item - 1) // item * item
-        metas.append((k, a.shape, a.dtype, offset))
-        offset += a.nbytes
-    buf = np.zeros(offset, np.uint8)
-    for (k, shape, dtype, off) in metas:
-        a = np.ascontiguousarray(tree[k])
-        buf[off : off + a.nbytes] = a.view(np.uint8).ravel()
-    return buf, metas
+        dt = a.dtype.name
+        off = offsets.get(dt, 0)
+        metas.append((k, a.shape, dt, off))
+        chunks.setdefault(dt, []).append(a.ravel())
+        offsets[dt] = off + a.size
+    buffers = {dt: np.concatenate(parts) for dt, parts in chunks.items()}
+    return buffers, metas
 
 
-def unpack_tree(buf, metas) -> dict:
-    """Rebuild the packed tree from the (device) buffer — jit me.
+def unpack_tree(buffers: dict, metas) -> dict:
+    """Rebuild the packed tree from (device) per-dtype buffers — jit me.
 
-    Each leaf is a dynamic slice + bitcast + reshape; under jit the
-    whole rebuild is ONE dispatch.  Works on host numpy inputs too (jnp
-    ops accept them), so the round trip is testable without a device."""
+    Each leaf is a 1-D dynamic slice + reshape; under jit the whole
+    rebuild is ONE dispatch.  Works on host numpy inputs too, so the
+    round trip is testable without a device."""
     out = {}
-    for k, shape, dtype, off in metas:
+    for k, shape, dt, off in metas:
         n = int(np.prod(shape, dtype=np.int64)) if shape else 1
-        item = np.dtype(dtype).itemsize
-        flat = jax.lax.dynamic_slice(buf, (off,), (n * item,))
-        jdt = jnp.dtype(dtype)
-        if item == 1:
-            leaf = jax.lax.bitcast_convert_type(flat, jdt)
-        else:
-            leaf = jax.lax.bitcast_convert_type(flat.reshape(n, item), jdt)
-        out[k] = leaf.reshape(shape)
+        flat = jax.lax.dynamic_slice(buffers[dt], (off,), (n,))
+        out[k] = flat.reshape(shape)
     return out
 
 
 def make_packed_uploader(tree: dict):
-    """(upload_fn, nbytes): ``upload_fn()`` device_puts the packed buffer
-    (one transfer) and rebuilds the tree in one jitted dispatch.  The
-    buffer is donated to the unpack so XLA may overlay leaves onto it."""
-    buf, metas = pack_tree(tree)
+    """(upload_fn, nbytes): ``upload_fn()`` device_puts the per-dtype
+    buffers (one transfer each — typically 2-3 for a quantized subtree)
+    and rebuilds the tree in one jitted dispatch.  Buffers are donated
+    to the unpack so XLA may overlay leaves onto them."""
+    buffers, metas = pack_tree(tree)
 
     unpack = jax.jit(lambda b: unpack_tree(b, metas), donate_argnums=0)
 
     def upload():
-        return unpack(jax.device_put(buf))
+        return unpack({dt: jax.device_put(b) for dt, b in buffers.items()})
 
-    return upload, buf.nbytes
+    return upload, sum(b.nbytes for b in buffers.values())
