@@ -406,7 +406,6 @@ def run_train(profile: str = "train", steps: int | None = None,
         # the measured one-16GB-chip production recipe
         # (cli/finetune.py --single-chip; docs/BENCHMARKS.md)
         batch = batch_size or 2
-        steps = steps or 4
         model_cfg = full_model_config()
         model_cfg = model_cfg.replace(
             vit=model_cfg.vit.replace(grad_checkpoint=True),
@@ -416,11 +415,17 @@ def run_train(profile: str = "train", steps: int | None = None,
             ),
         )
         data_cfg = DataConfig.for_dataset("QVH", video_source="synthetic")
+        # encoder_window: bitwise-exact; amortizes the per-window
+        # encoder-weight upload (1.44 GB — wire-bound at ~35 MB/s
+        # through this tunnel, ~44 s) over W steps.  Keep steps a
+        # multiple of W or the tail window under-amortizes.
+        window = int(os.environ.get("MRAUDIO_BENCH_TRAIN_WINDOW", "6"))
+        steps = steps or 2 * window
         tc = TrainConfig(max_epoch=2, batch_size=batch, warmup_steps=2,
                          accum_grad_iters=2, output_dir="/tmp/bench_train_out",
                          val_freq=10, save_freq=0, num_workers=1,
                          quant_frozen="int8", split_encode_step=True,
-                         encoder_window=6)
+                         encoder_window=window)
     anns = [
         {"vid": f"t{i}", "qid": i, "query": "a person trains the benchmark",
          "duration": 150, "relevant_windows": [[10, 30]]}

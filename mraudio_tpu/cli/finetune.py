@@ -51,7 +51,7 @@ def main(argv=None):
         "--single-chip", action="store_true",
         help="apply the measured one-16GB-chip full-size memory stack: "
              "quant_frozen=int8 + scan_layers + attention_unroll_train + "
-             "encoder_window=6 (probed working at B=1/B=2; "
+             "encoder_window=12 (probed working at B=1/B=2; "
              "docs/BENCHMARKS.md 'Full-size training' — mlp_seq_chunk is "
              "NOT needed once the encoders are host-evicted, and dropping "
              "it is 24%% faster per step). On a multi-chip mesh, shard "
@@ -117,10 +117,13 @@ def main(argv=None):
             ),
             train=cfg.train.replace(
                 quant_frozen="int8", split_encode_step=True,
-                # W=6 measured: ~9 s of encoder upload per window
-                # amortizes to +1.5 s/step (vs +4.5 at W=2); W batches
-                # of modal tokens (~43 MB each at B=1) stay resident
-                encoder_window=max(cfg.train.encoder_window, 6),
+                # W=12 measured at B=2 (bench train profile): the
+                # per-window encoder upload (1.44 GB, wire-bound)
+                # amortizes to ~1/12 per step — 12.15 s/step e2e, MFU
+                # 0.29; W batches of modal tokens (~43 MB each at B=1)
+                # stay device-resident during the step phase, so W is
+                # bounded by HBM, not wall clock
+                encoder_window=max(cfg.train.encoder_window, 12),
             ),
         )
 
