@@ -417,10 +417,13 @@ def run_train(profile: str = "train", steps: int | None = None,
         data_cfg = DataConfig.for_dataset("QVH", video_source="synthetic")
         # encoder_window: bitwise-exact; amortizes the per-window
         # encoder-weight upload (1.44 GB — wire-bound at ~35 MB/s
-        # through this tunnel, ~44 s) over W steps.  Keep steps a
+        # through this tunnel, ~44 s) over W steps.  Default 12 = the
+        # --single-chip recipe (cli/finetune.py) and the recorded
+        # round-4 cache entry; steps defaults to one full window so the
+        # measured epoch amortizes exactly as recorded.  Keep steps a
         # multiple of W or the tail window under-amortizes.
-        window = int(os.environ.get("MRAUDIO_BENCH_TRAIN_WINDOW", "6"))
-        steps = steps or 2 * window
+        window = int(os.environ.get("MRAUDIO_BENCH_TRAIN_WINDOW", "12"))
+        steps = steps or window
         tc = TrainConfig(max_epoch=2, batch_size=batch, warmup_steps=2,
                          accum_grad_iters=2, output_dir="/tmp/bench_train_out",
                          val_freq=10, save_freq=0, num_workers=1,
@@ -723,16 +726,25 @@ def run_serve(profile: str = "serve") -> dict:
                 raise
             print(f"serve repeat {r} ResourceExhausted; continuing",
                   file=__import__("sys").stderr, flush=True)
-        # Every iteration, success or not: serve() closes the engine's
-        # device state explicitly, but stream/request objects still hold
-        # device-resident prefix embeds in cycles — collect before the
-        # next run builds its engine against a chip tens of MB from the
-        # 16 GB line.
+            # the failed dispatch consumed donated engine buffers — the
+            # cached engine is poisoned (its next use would die on
+            # 'Array has been deleted', which the handler above would
+            # NOT catch); evict it so the next repeat builds fresh
+            if "engine" in engine_holder:
+                engine_holder.pop("engine").close()
+                engine_holder.clear()
+        # Every iteration, success or not: collect AFTER the except
+        # scope closes (inside it, the exception's __traceback__ still
+        # pins the dead run's frames — engine + device-resident prefix
+        # embeds), so the next run builds against a clean chip tens of
+        # MB from the 16 GB line.
         gc.collect()
     if "engine" in engine_holder:
         engine_holder.pop("engine").close()
     rates = sorted(st["requests_per_sec"] for st in all_stats)
-    median_rate = rates[len(rates) // 2]  # lower median: the run exists
+    # lower median (even counts happen when an OOM drops a repeat):
+    # pick the conservative middle run, never the faster one
+    median_rate = rates[(len(rates) - 1) // 2]
     stats = next(st for st in all_stats
                  if st["requests_per_sec"] == median_rate)
     result = {

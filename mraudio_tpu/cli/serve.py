@@ -84,12 +84,18 @@ def encode_request_stream(model, params, dataset, limit=None,
             # that recovery does cover.
             dev = None
             if upload_ahead:
+                staged = []
                 try:
-                    dev = (jax.device_put(batch.video),
-                           jax.device_put(batch.audio))
+                    for a in (batch.video, batch.audio):
+                        staged.append(jax.device_put(a))
+                    dev = tuple(staged)
                 except Exception as e:
                     if "RESOURCE_EXHAUSTED" not in str(e):
                         raise
+                    # free any buffer that DID land before falling back,
+                    # or the leak makes the lazy retry likelier to OOM
+                    for d in staged:
+                        d.delete()
                     logger.warning(
                         "upload-ahead device_put RESOURCE_EXHAUSTED; "
                         "falling back to lazy upload for this group"
@@ -332,8 +338,12 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
     # per-instance jit re-trace + compile-cache deserialization, ~20 s
     # of a 45 s run).  Reused only when every engine-shaping knob
     # matches; otherwise the old engine is closed and rebuilt.
+    # params identity is part of the key: a cached engine pins the
+    # weights captured at construction, and reusing it after a
+    # checkpoint swap would silently decode with stale weights
     engine_key = (prefix_len, max_new_tokens, max_slots, max_prefill_batch,
-                  steps_per_dispatch, spec_width, pipeline_depth)
+                  steps_per_dispatch, spec_width, pipeline_depth,
+                  id(model.llm), id(params["llm"]))
     engine = None
     if engine_cache is not None and engine_cache.get("key") == engine_key:
         engine = engine_cache["engine"]
@@ -354,154 +364,157 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
             engine_cache["key"] = engine_key
             engine_cache["engine"] = engine
 
-    submit_time, records = {}, []
-    t_start = time.time() - prime_s  # the priming encode is serving time
+    try:
+        submit_time, records = {}, []
+        t_start = time.time() - prime_s  # the priming encode is serving time
 
-    def handle(completion):
-        tokens = np.asarray(completion.token_ids)
-        tokens[tokens == 0] = model.llm_tokenizer.eos_token_id
-        raw = model.llm_tokenizer.decode(tokens, skip_special_tokens=True).strip()
-        ann = ann_by_id[completion.request_id]
-        records.append({
-            "qid": ann["qid"],
-            "query": ann["query"],
-            "vid": ann["vid"],
-            "pred_relevant_windows": moment_str_to_list(post_process(raw)),
-            "raw_out": raw,
-            "latency_s": round(time.time() - submit_time[completion.request_id], 4),
-        })
+        def handle(completion):
+            tokens = np.asarray(completion.token_ids)
+            tokens[tokens == 0] = model.llm_tokenizer.eos_token_id
+            raw = model.llm_tokenizer.decode(tokens, skip_special_tokens=True).strip()
+            ann = ann_by_id[completion.request_id]
+            records.append({
+                "qid": ann["qid"],
+                "query": ann["query"],
+                "vid": ann["vid"],
+                "pred_relevant_windows": moment_str_to_list(post_process(raw)),
+                "raw_out": raw,
+                "latency_s": round(time.time() - submit_time[completion.request_id], 4),
+            })
 
-    if inline and hasattr(stream_obj, "oom_recover"):
-        # Encode-OOM backpressure (see _EncodeStream): drain every
-        # in-flight decode so its scratch frees, then the stream retries
-        # the failed encode dispatch once.  Completions surfaced during
-        # the drain are handled normally.
-        def _drain_for_encode():
-            import gc
+        if inline and hasattr(stream_obj, "oom_recover"):
+            # Encode-OOM backpressure (see _EncodeStream): drain every
+            # in-flight decode so its scratch frees, then the stream retries
+            # the failed encode dispatch once.  Completions surfaced during
+            # the drain are handled normally.
+            def _drain_for_encode():
+                import gc
 
-            while engine.admission_pending():
+                while engine.admission_pending():
+                    engine.admission_step()
+                while engine.active.any() or engine._inflight:
+                    for completion in engine.step():
+                        handle(completion)
+                gc.collect()  # drop just-freed device buffers before retrying
+
+            stream_obj.oom_recover = _drain_for_encode
+
+        # Stage attribution: a decode "step" is one engine dispatch (1 token,
+        # K window tokens, or a W-wide verify pass) INCLUDING its token
+        # readback — on remote-attached devices the host round trip is part
+        # of the real per-step cost, which is exactly what this breakdown is
+        # for (sec_per_decode_step vs the device-only HBM floor).
+        prefill_s = decode_s = inline_encode_s = 0.0
+        prefill_calls = decode_steps = 0
+        while (pending or request_stream is not None or engine.active.any()
+               or engine.admission_pending() or engine._inflight):
+            if (request_stream is not None
+                    and len(pending) < engine.max_prefill_batch
+                    and not engine.admission_pending()):
+                # encode ahead (at most one admission batch): the encoder
+                # dispatch interleaves with the in-flight decode dispatches
+                # on the device queue, so its host round trips overlap decode.
+                # NEVER while an admission is in flight: the encoder's
+                # activation temps next to the admission's full-prefix batch
+                # cache (~1.4 GB/row at QVH full size) exceed a 16 GB chip —
+                # measured as a hard OOM on every run, not allocator variance.
+                t0 = time.time()
+                item = next(request_stream, None)
+                inline_encode_s += time.time() - t0
+                if item is None:
+                    request_stream = None
+                else:
+                    pending.append(item)
+                    ann_by_id[item[0].request_id] = item[1]
+            if engine.admission_pending():
+                # one prefill-chunk dispatch per loop iteration: the decode
+                # dispatch below lands BETWEEN chunks on the device queue, so
+                # active slots keep emitting during admission instead of
+                # stalling behind the whole multi-second prefill (r3's 50 s
+                # p95 was that stall — every decode's cache input data-
+                # depended on the one-shot admission scatter)
+                t0 = time.time()
                 engine.admission_step()
-            while engine.active.any() or engine._inflight:
-                for completion in engine.step():
-                    handle(completion)
-            gc.collect()  # drop just-freed device buffers before retrying
-
-        stream_obj.oom_recover = _drain_for_encode
-
-    # Stage attribution: a decode "step" is one engine dispatch (1 token,
-    # K window tokens, or a W-wide verify pass) INCLUDING its token
-    # readback — on remote-attached devices the host round trip is part
-    # of the real per-step cost, which is exactly what this breakdown is
-    # for (sec_per_decode_step vs the device-only HBM floor).
-    prefill_s = decode_s = inline_encode_s = 0.0
-    prefill_calls = decode_steps = 0
-    while (pending or request_stream is not None or engine.active.any()
-           or engine.admission_pending() or engine._inflight):
-        if (request_stream is not None
-                and len(pending) < engine.max_prefill_batch
-                and not engine.admission_pending()):
-            # encode ahead (at most one admission batch): the encoder
-            # dispatch interleaves with the in-flight decode dispatches
-            # on the device queue, so its host round trips overlap decode.
-            # NEVER while an admission is in flight: the encoder's
-            # activation temps next to the admission's full-prefix batch
-            # cache (~1.4 GB/row at QVH full size) exceed a 16 GB chip —
-            # measured as a hard OOM on every run, not allocator variance.
-            t0 = time.time()
-            item = next(request_stream, None)
-            inline_encode_s += time.time() - t0
-            if item is None:
-                request_stream = None
+                prefill_s += time.time() - t0
             else:
-                pending.append(item)
-                ann_by_id[item[0].request_id] = item[1]
-        if engine.admission_pending():
-            # one prefill-chunk dispatch per loop iteration: the decode
-            # dispatch below lands BETWEEN chunks on the device queue, so
-            # active slots keep emitting during admission instead of
-            # stalling behind the whole multi-second prefill (r3's 50 s
-            # p95 was that stall — every decode's cache input data-
-            # depended on the one-shot admission scatter)
-            t0 = time.time()
-            engine.admission_step()
-            prefill_s += time.time() - t0
-        else:
-            # in inline mode wait for a full admission batch while the
-            # stream is live — width-1 admissions would forfeit the
-            # shared prefill
-            batch_ready = request_stream is None or len(pending) >= min(
-                engine.max_prefill_batch, max(engine.free_slots(), 1)
-            )
-            if pending and engine.free_slots() and batch_ready:
-                # simultaneous arrivals share one batched chunked prefill
-                now = time.time()
-                admitted = engine.begin_admission(
-                    [req for req, _ in pending]
+                # in inline mode wait for a full admission batch while the
+                # stream is live — width-1 admissions would forfeit the
+                # shared prefill
+                batch_ready = request_stream is None or len(pending) >= min(
+                    engine.max_prefill_batch, max(engine.free_slots(), 1)
                 )
-                prefill_s += time.time() - now
-                if admitted:
-                    prefill_calls += 1
-                    for req, _ in pending[:admitted]:
-                        submit_time[req.request_id] = now
-                    del pending[:admitted]
-        if engine.active.any() or engine._inflight:
-            t0 = time.time()
-            completions = engine.step()
-            decode_s += time.time() - t0
-            decode_steps += 1
-            for completion in completions:
-                handle(completion)
-    elapsed = time.time() - t_start
+                if pending and engine.free_slots() and batch_ready:
+                    # simultaneous arrivals share one batched chunked prefill
+                    now = time.time()
+                    admitted = engine.begin_admission(
+                        [req for req, _ in pending]
+                    )
+                    prefill_s += time.time() - now
+                    if admitted:
+                        prefill_calls += 1
+                        for req, _ in pending[:admitted]:
+                            submit_time[req.request_id] = now
+                        del pending[:admitted]
+            if engine.active.any() or engine._inflight:
+                t0 = time.time()
+                completions = engine.step()
+                decode_s += time.time() - t0
+                decode_steps += 1
+                for completion in completions:
+                    handle(completion)
+        elapsed = time.time() - t_start
 
-    lat = np.array([r["latency_s"] for r in records])
-    stats = {
-        "requests": len(records),
-        "slots": max_slots,
-        "max_prefill_batch": engine.max_prefill_batch,
-        "kv_keep": engine.kv_keep,
-        "steps_per_dispatch": engine.steps_per_dispatch,
-        "spec_width": engine.spec_width,
-        "pipeline_depth": engine.pipeline_depth,
-        "elapsed_s": round(elapsed, 2),
-        "requests_per_sec": round(len(records) / elapsed, 4),
-        "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
-        "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
-        "prefill_s": round(prefill_s, 2),
-        "prefill_calls": prefill_calls,
-        # upfront mode: requests_per_sec covers the engine (prefill +
-        # decode), matching how LLM serving is usually quoted, and the
-        # encode-included rate adds the separately-run encoder pass.
-        # inline mode: encodes happen inside the loop (overlapped with
-        # decode), so elapsed already includes them and both rates match.
-        "encode_mode": "inline" if inline else "upfront",
-        "encode_batch": encode_batch,
-        "encode_ahead": getattr(stream_obj, "host_ahead", 0) if inline else 0,
-        # inline: time the serve loop BLOCKED on encodes (with host-stage
-        # prefetch this is what's left after overlap; the worker's full
-        # cost is encode_busy_s).  upfront: the separate encoder pass.
-        "encode_s": round(
-            (inline_encode_s + prime_s) if inline else encode_s, 2
-        ),
-        **({"encode_busy_s": round(stream_obj.host_busy_s, 2)}
-           if inline and getattr(stream_obj, "host_ahead", 0) else {}),
-        "requests_per_sec_incl_encode": (
-            round(len(records)
-                  / (elapsed + (0.0 if inline else encode_s)), 4)
-            if (elapsed + encode_s) > 0 else 0.0
-        ),
-        "decode_s": round(decode_s, 2),
-        "decode_steps": decode_steps,
-        "sec_per_decode_step": (
-            round(decode_s / decode_steps, 4) if decode_steps else 0.0
-        ),
-    }
-    # Free the engine's device state before returning (unless the caller
-    # keeps it alive via engine_cache): the jit closures form a reference
-    # cycle, and a sweep/bench building the next engine would otherwise
-    # OOM against this one's ghost slot cache (see
-    # ContinuousBatcher.close).
-    if engine_cache is None:
-        engine.close()
+        lat = np.array([r["latency_s"] for r in records])
+        stats = {
+            "requests": len(records),
+            "slots": max_slots,
+            "max_prefill_batch": engine.max_prefill_batch,
+            "kv_keep": engine.kv_keep,
+            "steps_per_dispatch": engine.steps_per_dispatch,
+            "spec_width": engine.spec_width,
+            "pipeline_depth": engine.pipeline_depth,
+            "elapsed_s": round(elapsed, 2),
+            "requests_per_sec": round(len(records) / elapsed, 4),
+            "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
+            "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
+            "prefill_s": round(prefill_s, 2),
+            "prefill_calls": prefill_calls,
+            # upfront mode: requests_per_sec covers the engine (prefill +
+            # decode), matching how LLM serving is usually quoted, and the
+            # encode-included rate adds the separately-run encoder pass.
+            # inline mode: encodes happen inside the loop (overlapped with
+            # decode), so elapsed already includes them and both rates match.
+            "encode_mode": "inline" if inline else "upfront",
+            "encode_batch": encode_batch,
+            "encode_ahead": getattr(stream_obj, "host_ahead", 0) if inline else 0,
+            # inline: time the serve loop BLOCKED on encodes (with host-stage
+            # prefetch this is what's left after overlap; the worker's full
+            # cost is encode_busy_s).  upfront: the separate encoder pass.
+            "encode_s": round(
+                (inline_encode_s + prime_s) if inline else encode_s, 2
+            ),
+            **({"encode_busy_s": round(stream_obj.host_busy_s, 2)}
+               if inline and getattr(stream_obj, "host_ahead", 0) else {}),
+            "requests_per_sec_incl_encode": (
+                round(len(records)
+                      / (elapsed + (0.0 if inline else encode_s)), 4)
+                if (elapsed + encode_s) > 0 else 0.0
+            ),
+            "decode_s": round(decode_s, 2),
+            "decode_steps": decode_steps,
+            "sec_per_decode_step": (
+                round(decode_s / decode_steps, 4) if decode_steps else 0.0
+            ),
+        }
+    finally:
+        # Free the engine's device state on EVERY exit path (unless the
+        # caller keeps it alive via engine_cache): the jit closures form
+        # a reference cycle, and a driver catching a mid-serve OOM to
+        # retry with fewer slots would otherwise build its next engine
+        # against this one's ghost slot cache (see
+        # ContinuousBatcher.close).
+        if engine_cache is None:
+            engine.close()
     return records, stats
 
 

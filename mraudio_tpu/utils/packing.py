@@ -68,7 +68,13 @@ def make_packed_uploader(tree: dict):
     """(upload_fn, nbytes): ``upload_fn()`` device_puts the per-dtype
     buffers (one transfer each — typically 2-3 for a quantized subtree)
     and rebuilds the tree in one jitted dispatch.  Buffers are donated
-    to the unpack so XLA may overlay leaves onto them."""
+    to the unpack so XLA may overlay leaves onto them.
+
+    Host-RAM note: the closure keeps the packed copy alive next to the
+    caller's original leaves (~2× the subtree in host RAM) — the copy
+    IS what gets re-uploaded every window, so it cannot be freed after
+    first use.  Deliberate: this host holds 125 GB; trading ~1.4 GB of
+    RAM for a per-window repack would cost ~1 s of CPU each window."""
     buffers, metas = pack_tree(tree)
 
     unpack = jax.jit(lambda b: unpack_tree(b, metas), donate_argnums=0)
