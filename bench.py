@@ -631,8 +631,10 @@ def run_serve(profile: str = "serve") -> dict:
     kv_keep = int(env("KV_KEEP", "0" if tiny else "1784"))
     spec = int(env("SPEC", "1"))
     # K=2 is the recorded deployable config; K=8 measured a tie (the
-    # makespan is device-work bound, docs/BENCHMARKS.md round 4)
-    steps = int(env("STEPS", "2"))
+    # makespan is device-work bound, docs/BENCHMARKS.md round 4).
+    # spec_width>1 requires steps_per_dispatch=1 (ContinuousBatcher),
+    # so a SPEC>1 sweep without STEPS set must not inherit the K=2 default
+    steps = int(env("STEPS", "1" if spec > 1 else "2"))
     depth = int(env("PIPELINE", "2"))
     mode = env("MODE", "inline")
     encode_batch = int(env("ENCODE_BATCH", "0")) or mpb or slots

@@ -90,12 +90,13 @@ def encode_request_stream(model, params, dataset, limit=None,
                         staged.append(jax.device_put(a))
                     dev = tuple(staged)
                 except Exception as e:
-                    if "RESOURCE_EXHAUSTED" not in str(e):
-                        raise
-                    # free any buffer that DID land before falling back,
-                    # or the leak makes the lazy retry likelier to OOM
+                    # free any buffer that DID land before falling back or
+                    # re-raising — a leaked partial stage makes the lazy
+                    # retry (or the caller's recovery) likelier to OOM
                     for d in staged:
                         d.delete()
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
                     logger.warning(
                         "upload-ahead device_put RESOURCE_EXHAUSTED; "
                         "falling back to lazy upload for this group"
@@ -345,12 +346,18 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
                   steps_per_dispatch, spec_width, pipeline_depth,
                   id(model.llm), id(params["llm"]))
     engine = None
-    if engine_cache is not None and engine_cache.get("key") == engine_key:
+    if (engine_cache is not None and engine_cache.get("key") == engine_key
+            and engine_cache.get("engine") is not None):
+        # the .get("engine") guard covers a cache left with a stale key but
+        # no engine (eviction mid-rebuild, or the exception path below)
         engine = engine_cache["engine"]
         engine.reset()
     if engine is None:
-        if engine_cache is not None and "engine" in engine_cache:
-            engine_cache.pop("engine").close()
+        if engine_cache is not None:
+            old = engine_cache.pop("engine", None)
+            engine_cache.pop("key", None)
+            if old is not None:
+                old.close()
         engine = ContinuousBatcher(
             model.llm, {"params": params["llm"]}, prefix_len,
             max_new_tokens, model.llm_tokenizer.eos_token_id,
@@ -506,15 +513,24 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
                 round(decode_s / decode_steps, 4) if decode_steps else 0.0
             ),
         }
-    finally:
-        # Free the engine's device state on EVERY exit path (unless the
-        # caller keeps it alive via engine_cache): the jit closures form
-        # a reference cycle, and a driver catching a mid-serve OOM to
-        # retry with fewer slots would otherwise build its next engine
-        # against this one's ghost slot cache (see
-        # ContinuousBatcher.close).
-        if engine_cache is None:
-            engine.close()
+    except BaseException:
+        # A failed dispatch may have consumed donated buffers, leaving the
+        # engine poisoned (later use crashes with 'Array has been deleted'
+        # far from the root cause) — evict it from the cache and close it
+        # HERE rather than relying on every caller to replicate bench.py's
+        # eviction handler.
+        if engine_cache is not None:
+            if engine_cache.get("engine") is engine:
+                engine_cache.pop("engine", None)
+                engine_cache.pop("key", None)
+        engine.close()
+        raise
+    # Success path: free the engine's device state unless the caller keeps
+    # it alive via engine_cache — the jit closures form a reference cycle,
+    # and a driver that rebuilt an engine next to this one's ghost slot
+    # cache would OOM (see ContinuousBatcher.close).
+    if engine_cache is None:
+        engine.close()
     return records, stats
 
 

@@ -256,7 +256,10 @@ class Trainer:
         (~60 ms per-transfer overhead each) while the same tunnel moves
         large buffers at ~1 GB/s — the packed path is ~2 s.  Bit-exact
         (bitcast of the serialized bytes; tests/test_packing.py)."""
-        key = tuple(sorted(map(str, frozen_enc)))
+        # key on leaf VALUES (id), not just names: a same-keyed tree with
+        # different leaves (e.g. a future in-place frozen-param reload)
+        # must not silently reuse the stale packed copy
+        key = tuple(sorted((str(k), id(v)) for k, v in frozen_enc.items()))
         if self._enc_uploader is None or self._enc_uploader[0] != key:
             from mraudio_tpu.utils.packing import make_packed_uploader
 
