@@ -141,6 +141,17 @@ class LlamaConfig(_ConfigBase):
     (``:141,154``)."""
 
     vocab_size: int = 32001
+    # Round the embedding/lm_head vocab dimension up to a multiple of
+    # this (zero rows appended; pad logit columns are masked to
+    # finfo.min before any softmax/argmax).  Bit-identical to the
+    # unpadded model on TPU (the MXU pads the vocab tile to 128 lanes
+    # either way); XLA:CPU may re-block the GEMM for the new N, giving
+    # ~1e-7-level rounding diffs only (tests/test_vocab_pad.py).  The Vicuna
+    # vocab is 32001 (32000 + [PAD], reference models/xinstructblip.py:154)
+    # which no model-axis width divides; 8 → 32008 lets lm_head and
+    # embed_tokens vocab-shard on any (1|2|4|8)-wide model axis instead
+    # of silently replicating (docs/DIVERGENCES.md "vocab padding").
+    vocab_pad_multiple: int = 1
     hidden_size: int = 4096
     num_layers: int = 32
     num_heads: int = 32
@@ -253,6 +264,11 @@ class LlamaConfig(_ConfigBase):
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
+
+    @property
+    def padded_vocab_size(self) -> int:
+        m = self.vocab_pad_multiple
+        return -(-self.vocab_size // m) * m if m > 1 else self.vocab_size
 
 
 @dataclass(frozen=True)
@@ -538,6 +554,17 @@ class TrainConfig(_ConfigBase):
     # encoders; single-chip (shard over the `model` axis on a mesh
     # instead).  0 = off.
     encoder_window: int = 0
+    # With encoder_window: double-buffer the per-window encoder upload —
+    # window k+1's packed transfers are ISSUED (async device_put) right
+    # after window k's encodes retire, so the ~1.4 GB rides the wire
+    # while window k's LLM steps run, instead of serializing in front
+    # of window k+1 (r4 measured the serialized upload at ~45 s per
+    # 12-step window through the remote tunnel ≈ 3.8 s/step of pure
+    # wire wait).  Costs the staged subtree's bytes of extra HBM during
+    # the window's steps; staging falls back to the serialized path on
+    # RESOURCE_EXHAUSTED.  Bit-identical either way (same transfers,
+    # same unpack, different timing).
+    upload_overlap: bool = True
 
 
 @dataclass(frozen=True)
@@ -618,7 +645,8 @@ def full_model_config() -> XInstructBLIPConfig:
     accept ``--model-size full`` must use this config, matching
     ``bench.py::make_profile`` (docs/BENCHMARKS.md "Memory")."""
     return XInstructBLIPConfig(
-        llm=LlamaConfig(quantization="int8", kv_quant="int8")
+        llm=LlamaConfig(quantization="int8", kv_quant="int8",
+                        vocab_pad_multiple=8)
     )
 
 

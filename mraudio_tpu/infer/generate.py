@@ -105,7 +105,7 @@ def greedy_generate(
         model, params, prefix_embeds, positions, full_mask, alloc_len
     )
     last_logits = model.apply(
-        params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]
+        params, method=lambda m, h: m.logits(h), h=hidden[:, -1:]
     ).astype(jnp.float32)
     next_id = jnp.argmax(last_logits[:, -1], axis=-1).astype(jnp.int32)  # (B,)
 
@@ -266,7 +266,7 @@ def lookup_generate(
         model, params, prefix_embeds, positions, full_mask, alloc_len
     )
     last_logits = model.apply(
-        params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]
+        params, method=lambda m, h: m.logits(h), h=hidden[:, -1:]
     ).astype(jnp.float32)[:, -1]                                   # (B, V)
     first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)     # (B,)
 
@@ -419,7 +419,7 @@ def grammar_generate(
         model, params, prefix_embeds, positions, full_mask, alloc_len
     )
     last_logits = model.apply(
-        params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]
+        params, method=lambda m, h: m.logits(h), h=hidden[:, -1:]
     ).astype(jnp.float32)[:, -1]                                   # (B, V)
 
     if kv_keep:

@@ -167,6 +167,9 @@ class ContinuousBatcher:
         self._admission: Optional[dict] = None
         self._reserved = np.zeros((max_slots,), bool)
         self._chunk_jits: dict = {}
+        # request ids cancelled while their admission was in flight; the
+        # admission epilogue frees their slots the moment it lands
+        self._cancelled: set = set()
 
         self.cache = init_cache(model.cfg, max_slots, self.max_len)
         if self.kv_keep:
@@ -250,7 +253,7 @@ class ContinuousBatcher:
         first token; under ``kv_keep`` the per-request cache compacts to
         the top-keep columns before the slot scatter."""
         last_logits = self.model.apply(
-            params, method=lambda m, h: m.lm_head(h), h=hidden[:, -1:]
+            params, method=lambda m, h: m.logits(h), h=hidden[:, -1:]
         ).astype(jnp.float32)
         next_ids = jnp.argmax(last_logits[:, -1], axis=-1).astype(jnp.int32)
         if self.kv_keep:
@@ -516,6 +519,39 @@ class ContinuousBatcher:
             )
             self.slot_request[slot] = request.request_id
             self.active[slot] = True
+            if request.request_id in self._cancelled:
+                # cancelled mid-admission: free the slot immediately
+                # (the prefill work is sunk; nothing decodes)
+                self._cancelled.discard(request.request_id)
+                self.active[slot] = False
+                self.slot_request[slot] = None
+
+    def cancel(self, request_id: int) -> bool:
+        """Free ``request_id``'s slot immediately (deadline expiry /
+        client disconnect) — the reference has no serving path at all,
+        so this is engine-native behavior.  Safe at any point in the
+        request's life: active mid-decode (the slot stops dispatching at
+        the next step; tokens from dispatches already in flight are
+        dropped by the snapshot guard in ``_process_readback``), queued
+        inside an in-flight admission (freed right after the admission
+        epilogue lands), or unknown (returns False).  Every OTHER slot's
+        token stream is bit-identical to a run without the cancellation
+        — rows never read each other's state
+        (tests/test_serving_load.py)."""
+        for i in range(self.max_slots):
+            if self.active[i] and self.slot_request[i] == request_id:
+                self.active[i] = False
+                self.slot_request[i] = None
+                self.emitted[i] = []
+                self.hints[i] = None
+                return True
+        ad = self._admission
+        if ad is not None and any(
+            r.request_id == request_id for r in ad["take"]
+        ):
+            self._cancelled.add(request_id)
+            return True
+        return False
 
     def step(self) -> list[Completion]:
         """Advance every active slot by ``steps_per_dispatch`` tokens.
@@ -661,6 +697,7 @@ class ContinuousBatcher:
         read (their columns sit behind ``valid``/``active`` masks)."""
         self._inflight.clear()
         self._admission = None
+        self._cancelled.clear()
         self._reserved[:] = False
         self.valid[:] = 0
         self.positions[:] = 0

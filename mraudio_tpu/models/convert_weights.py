@@ -262,9 +262,11 @@ def convert_llama_hf(sd: dict, cfg) -> dict:
         )
 
     def pad_vocab(w, axis=0):
-        if w.shape[axis] < cfg.vocab_size:
+        # pad to padded_vocab_size (= vocab_size + the sharding-alignment
+        # rows of cfg.vocab_pad_multiple; logits() masks the pad columns)
+        if w.shape[axis] < cfg.padded_vocab_size:
             pad = [(0, 0)] * w.ndim
-            pad[axis] = (0, cfg.vocab_size - w.shape[axis])
+            pad[axis] = (0, cfg.padded_vocab_size - w.shape[axis])
             w = np.pad(w, pad)
         return w
 

@@ -743,8 +743,11 @@ class LlamaModel(nn.Module):
     lora: Optional[LoraConfig] = None
 
     def setup(self):
+        # padded_vocab_size: zero rows appended past vocab_size so the
+        # vocab dim tiles evenly over any model axis (config
+        # vocab_pad_multiple); `logits` masks the pad columns.
         self.embed_tokens = nn.Embed(
-            self.cfg.vocab_size,
+            self.cfg.padded_vocab_size,
             self.cfg.hidden_size,
             param_dtype=jnp.float32,
             name="embed_tokens",
@@ -779,11 +782,26 @@ class LlamaModel(nn.Module):
         # Never quantized: mirrors HF get_keys_to_not_convert under
         # load_in_8bit (reference models/xinstructblip.py:151).
         self.lm_head = LlamaLinear(
-            self.cfg.vocab_size, self.cfg, name="lm_head", quantize_ok=False
+            self.cfg.padded_vocab_size, self.cfg, name="lm_head",
+            quantize_ok=False,
         )
 
     def embed(self, input_ids: jax.Array) -> jax.Array:
         return self.embed_tokens(input_ids).astype(jnp.dtype(self.cfg.dtype))
+
+    def logits(self, hidden: jax.Array) -> jax.Array:
+        """fp32 lm_head logits (reference CastOutputToFloat) with padded
+        vocab columns masked to finfo.min — softmax/log_softmax/argmax
+        over the result are bit-identical to the unpadded model (the pad
+        columns contribute exp(min - max) = 0 and never win an argmax).
+        All lm_head consumers must route through here, not call
+        ``lm_head`` directly."""
+        out = self.lm_head(hidden).astype(jnp.float32)
+        v = self.cfg.vocab_size
+        if self.cfg.padded_vocab_size != v:
+            col = jax.lax.broadcasted_iota(jnp.int32, out.shape, out.ndim - 1)
+            out = jnp.where(col < v, out, jnp.finfo(jnp.float32).min)
+        return out
 
     def init_all(self, inputs_embeds, mask, positions, input_ids):
         """Initialization entry point touching every submodule (the main
@@ -824,9 +842,8 @@ class LlamaModel(nn.Module):
         x = self.final_norm(x)
         if return_hidden:
             return x, (new_cache if cache is not None else None)
-        # fp32 logits (reference CastOutputToFloat).
-        logits = self.lm_head(x).astype(jnp.float32)
-        return logits, (new_cache if cache is not None else None)
+        # fp32 logits (reference CastOutputToFloat), pad columns masked.
+        return self.logits(x), (new_cache if cache is not None else None)
 
 
 def _compact_layer(layer: dict, kv_valid, keep: int, sink: int, obs: int,

@@ -603,11 +603,23 @@ class XInstructBLIP:
                 allow_float=self.cfg.time_format
                 in ("seconds_floats", "relative_floats"),
             )
+            allowed, next_state, dist_next = (
+                tables.allowed, tables.next_state, tables.dist_next,
+            )
+            pv = self.cfg.llm.padded_vocab_size
+            if pv > allowed.shape[1]:
+                # vocab padding (config.vocab_pad_multiple): widen the
+                # tables to the padded logits; pad ids are never allowed
+                pad = ((0, 0), (0, pv - allowed.shape[1]))
+                allowed = np.pad(allowed, pad)  # False
+                next_state = np.pad(next_state, pad)
+                dist_next = np.pad(dist_next, pad,
+                                   constant_values=np.iinfo(np.int32).max // 2)
             self._grammar_cache = {
-                "allowed": jnp.asarray(tables.allowed),
-                "next_state": jnp.asarray(tables.next_state),
+                "allowed": jnp.asarray(allowed),
+                "next_state": jnp.asarray(next_state),
                 "forced": jnp.asarray(tables.forced),
-                "dist_next": jnp.asarray(tables.dist_next),
+                "dist_next": jnp.asarray(dist_next),
             }
         return self._grammar_cache
 
@@ -838,7 +850,7 @@ class XInstructBLIP:
             h_blk, l_blk = inputs
             logits = self.llm.apply(
                 {"params": params["llm"]},
-                method=lambda m, x: m.lm_head(x).astype(jnp.float32),
+                method=lambda m, x: m.logits(x),
                 x=h_blk,
             )
             valid = l_blk != -100
