@@ -141,6 +141,11 @@ class Trainer:
             raise ValueError(f"unknown quant_frozen={tc.quant_frozen!r}")
         self._windowed = tc.encoder_window > 0
         self._enc_uploader = None
+        # upload/compute overlap state (train.upload_overlap): staged
+        # transfer buffers for the NEXT window, issued while the current
+        # window's LLM steps run; flipped off on HBM exhaustion.
+        self._staged_enc = None
+        self._overlap_ok = bool(self.cfg.train.upload_overlap)
         if self._windowed:
             # Windowed encoder residency (train.encoder_window): the
             # frozen encoder subtree lives on HOST between windows; each
@@ -247,15 +252,9 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _upload_encoders(self, frozen_enc) -> dict:
-        """Device-put the host-resident frozen encoder subtree as ONE
-        packed transfer + one jitted unpack dispatch.
-
-        Leaf-by-leaf ``device_put`` of the ~700-leaf, 1.44 GB int8
-        subtree measured 48.6 s/window through the remote runtime
-        (~60 ms per-transfer overhead each) while the same tunnel moves
-        large buffers at ~1 GB/s — the packed path is ~2 s.  Bit-exact
-        (bitcast of the serialized bytes; tests/test_packing.py)."""
+    def _enc_upload_fn(self, frozen_enc):
+        """The cached packed uploader for the frozen encoder subtree
+        (see utils/packing.py)."""
         # key on leaf VALUES (id), not just names: a same-keyed tree with
         # different leaves (e.g. a future in-place frozen-param reload)
         # must not silently reuse the stale packed copy
@@ -267,7 +266,37 @@ class Trainer:
             logger.info("packed encoder subtree: %.2f GB, one transfer",
                         nbytes / 2**30)
             self._enc_uploader = (key, upload)
-        return self._enc_uploader[1]()
+        return self._enc_uploader[1]
+
+    def _upload_encoders(self, frozen_enc, staged=None) -> dict:
+        """Device-put the host-resident frozen encoder subtree as ONE
+        packed transfer + one jitted unpack dispatch.
+
+        Leaf-by-leaf ``device_put`` of the ~700-leaf, 1.44 GB int8
+        subtree measured 48.6 s/window through the remote runtime
+        (~60 ms per-transfer overhead each) while the same tunnel moves
+        large buffers at ~1 GB/s — the packed path is ~2 s of wire.
+        Bit-exact (native-dtype serialization; tests/test_packing.py).
+        ``staged``: pre-issued transfer buffers from
+        :meth:`_stage_encoders` (upload/compute overlap)."""
+        return self._enc_upload_fn(frozen_enc)(staged)
+
+    def _stage_encoders(self, frozen_enc):
+        """Double-buffer half of the windowed upload: issue the packed
+        transfers (async) and return the staged buffers, or None when
+        the chip has no headroom for the extra copy (falls back to the
+        serialized upload — same bytes, same unpack, later timing)."""
+        try:
+            return self._enc_upload_fn(frozen_enc).stage()
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            logger.warning(
+                "no HBM headroom to double-buffer the encoder upload; "
+                "falling back to serialized per-window uploads"
+            )
+            self._overlap_ok = False
+            return None
 
     def _split_frozen_encoders(self):
         """(frozen_encoder_flat, frozen_rest_flat) when the model's
@@ -580,6 +609,11 @@ class Trainer:
     def _preempt_exit(self, epoch: int):
         """Save ``checkpoint_preempt`` at the exact step position and
         stop cleanly (SIGTERM arrived; the pod is going away)."""
+        if self._staged_enc is not None:
+            # free the next window's double-buffer; it will never unpack
+            for leaf in self._staged_enc.values():
+                leaf.delete()
+            self._staged_enc = None
         self._preempt_path = None
         if jax.process_index() == 0:
             self._preempt_path = self._save_checkpoint(
@@ -608,11 +642,21 @@ class Trainer:
         W = self.cfg.train.encoder_window
         pending = []  # (fns, arrays, crop, rng)
 
-        def flush():
+        def flush(more: bool = False):
+            """Process the pending window.  ``more``: at least one more
+            window follows — double-buffer its encoder upload
+            (train.upload_overlap): the packed transfers are ISSUED
+            right after this window's encodes retire, so the ~1.4 GB
+            streams over the wire while this window's LLM steps occupy
+            the device, instead of serializing in front of the next
+            window (r4: ~45 s of pure wire wait per 12-step window).
+            The deferred unpack dispatch — the thing that synchronizes
+            on the transfer — runs at the next flush."""
             if not pending:
                 return
             _, encode_fn, step_jit, frozen_enc, frozen_rest = pending[0][0]
-            dev_enc = self._upload_encoders(frozen_enc)
+            dev_enc = self._upload_encoders(frozen_enc, staged=self._staged_enc)
+            self._staged_enc = None
             modals = [
                 encode_fn(dev_enc, *arrays[:4], crop)
                 for _, arrays, crop, _ in pending
@@ -622,6 +666,11 @@ class Trainer:
             jax.block_until_ready(modals)
             for leaf in dev_enc.values():
                 leaf.delete()
+            if more and self._overlap_ok:
+                # frozen_enc is window-invariant (host tree from
+                # _split_frozen_encoders), so staging ahead is safe even
+                # if the next window recompiles for a different n_frms
+                self._staged_enc = self._stage_encoders(frozen_enc)
             for (_, arrays, _, rng), modal in zip(pending, modals):
                 loss, self.trainable, self.opt_state = step_jit(
                     self.trainable, frozen_rest, self.opt_state, modal,
@@ -641,12 +690,18 @@ class Trainer:
             if fns is None:
                 fns = self._step_fns[n_frms] = self._build_step(n_frms)
             if pending and (len(pending) >= W or pending[0][0] is not fns):
-                flush()
+                flush(more=True)  # `batch` in hand: a next window exists
             ordinal = self.global_step + len(pending)
             rng = jax.random.fold_in(self._drop_key, ordinal)
             pending.append((fns, self._arrays_for_loss(batch),
                             self._sample_crops(batch, step=ordinal), rng))
         flush()
+        # epoch end without a follow-up window (e.g. preempt before the
+        # last flush): free any staged double-buffer
+        if self._staged_enc is not None:
+            for leaf in self._staged_enc.values():
+                leaf.delete()
+            self._staged_enc = None
 
     def eval_epoch(self) -> dict:
         params = self.params

@@ -79,7 +79,18 @@ def make_packed_uploader(tree: dict):
 
     unpack = jax.jit(lambda b: unpack_tree(b, metas), donate_argnums=0)
 
-    def upload():
-        return unpack({dt: jax.device_put(b) for dt, b in buffers.items()})
+    def stage():
+        """Issue the transfers only (async device_put — they stream
+        over the wire while unrelated device work runs) and return the
+        raw staged buffers.  Pass them to ``upload`` later to unpack;
+        the unpack dispatch is what synchronizes on the transfer, so
+        deferring it is what makes upload/compute overlap possible
+        (the windowed trainer stages window k+1 while window k's LLM
+        steps run)."""
+        return {dt: jax.device_put(b) for dt, b in buffers.items()}
 
+    def upload(staged=None):
+        return unpack(stage() if staged is None else staged)
+
+    upload.stage = stage
     return upload, sum(b.nbytes for b in buffers.values())

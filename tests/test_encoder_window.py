@@ -103,6 +103,26 @@ def test_encoder_window_frees_device_encoders(tmp_path):
     assert "brief" in metrics
 
 
+def test_upload_overlap_bitwise_and_cleanup(tmp_path):
+    """train.upload_overlap double-buffers the next window's encoder
+    transfers; results must be bitwise-identical to the serialized
+    path (same transfers + same unpack, different timing) and no staged
+    buffer may survive the epoch."""
+    results = {}
+    for overlap in (False, True):
+        cfg = _cfg(tmp_path, f"out_ov{int(overlap)}", encoder_window=2,
+                   upload_overlap=overlap)
+        trainer = Trainer(cfg)
+        assert trainer._overlap_ok is overlap
+        trainer.train_epoch(0)
+        assert trainer._staged_enc is None  # consumed or freed
+        results[overlap] = jax.tree_util.tree_map(
+            np.asarray, trainer.trainable
+        )
+    for k in results[False]:
+        np.testing.assert_array_equal(results[False][k], results[True][k])
+
+
 def test_encoder_window_requires_split(tmp_path):
     cfg = _cfg(tmp_path, "out_err", encoder_window=2,
                split_encode_step=False)
