@@ -212,6 +212,15 @@ class LlamaConfig(_ConfigBase):
     # rematerialize decoder blocks under grad (reference
     # gradient_checkpointing_enable, models/xinstructblip.py:157)
     grad_checkpoint: bool = False
+    # Decode-GEMV implementation: "xla" (default) or "pallas" — the
+    # order-preserving split-K Pallas kernel (ops/gemv.py) for
+    # decode-shaped projections (<=32 rows; int8 weight-only and plain
+    # float paths; dims must tile — the padded lm_head falls back).
+    # Targets the measured −11% split-K win WITHOUT reordering the f32
+    # accumulation (docs/ROADMAP.md round 4).  Mosaic cannot compile
+    # through this build host's tunnel, so it is interpret-validated
+    # here and intended for direct-attached TPUs.
+    decode_gemv: str = "xla"
     # Attention implementation for multi-token (prefill/training) calls:
     # "chunked" = online-softmax lax.scan (O(S*D) memory, portable, the
     # default), "pallas" = the hand-written Mosaic kernel (real TPU

@@ -103,6 +103,31 @@ class LlamaLinear(nn.Module):
     # every quantization path supports it unchanged.
     use_bias: bool = False
 
+    def _pallas_gemv_ok(self, x, in_features: int) -> bool:
+        """Route decode-shaped calls (<= 32 rows) through the
+        order-preserving Pallas GEMV (ops/gemv.py) when configured."""
+        if self.cfg.decode_gemv != "pallas":
+            return False
+        import math as _math
+
+        from mraudio_tpu.ops.gemv import supports
+
+        return (_math.prod(x.shape[:-1]) <= 32
+                and supports(in_features, self.features))
+
+    @staticmethod
+    def _pallas_gemv(x, w, scale, dtype):
+        from mraudio_tpu.ops.gemv import decode_gemv
+
+        rows = x.shape[:-1]
+        x2 = x.reshape((-1, x.shape[-1])).astype(dtype)
+        y = decode_gemv(
+            x2, w, scale, out_dtype=dtype,
+            # Mosaic only exists on real TPUs; CPU tests run interpreted
+            interpret=jax.default_backend() != "tpu",
+        )
+        return y.reshape(rows + (y.shape[-1],))
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         dtype = jnp.dtype(self.cfg.dtype)
@@ -138,6 +163,12 @@ class LlamaLinear(nn.Module):
                     preferred_element_type=jnp.int32,
                 )
                 y = (acc.astype(jnp.float32) * (x_scale * scale)).astype(dtype)
+            elif self._pallas_gemv_ok(x, in_features):
+                # cfg.decode_gemv="pallas": same math (bf16 dot, f32
+                # accumulate, * scale) with the weight-tile DMA
+                # double-buffered and a FIXED ascending-k accumulation
+                # order per output tile (ops/gemv.py)
+                y = self._pallas_gemv(x, w_q, scale, dtype)
             else:
                 # Weight-only int8: the HBM/storage win of load_in_8bit
                 # (weights stream at 1 byte/param) with the matmul itself
@@ -242,12 +273,17 @@ class LlamaLinear(nn.Module):
                 (in_features, self.features),
                 jnp.float32,
             )
-            y = jax.lax.dot_general(
-                x.astype(dtype),
-                kernel.astype(dtype),
-                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(dtype)
+            if self._pallas_gemv_ok(x, in_features):
+                y = self._pallas_gemv(
+                    x, kernel.astype(dtype), None, dtype
+                )
+            else:
+                y = jax.lax.dot_general(
+                    x.astype(dtype),
+                    kernel.astype(dtype),
+                    dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dtype)
 
         if self.use_bias:
             b = self.param(

@@ -155,12 +155,28 @@ def mm_int8_scan(x, w, s):
     return outs.transpose(1, 0, 2).reshape(x.shape[0], -1)
 
 
+def mm_int8_pallas(x, w, s):
+    # the order-preserving Pallas GEMV (ops/gemv.py): double-buffered
+    # weight-tile DMA with fixed ascending-k f32 accumulation — the
+    # split-K throughput target WITHOUT split-K's reordering.  Only
+    # runnable on a direct-attached TPU (Mosaic can't compile through
+    # the remote tunnel; CLAUDE.md).
+    from mraudio_tpu.ops.gemv import decode_gemv
+
+    return decode_gemv(x, w, s, out_dtype=jnp.bfloat16)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--variants", default="bf16,int8-cvt,int8-dot,int8-mix,int8-scan")
+    ap.add_argument("--pallas", action="store_true",
+                    help="shorthand for --variants int8-cvt,int8-pallas "
+                         "(direct-attached TPU only)")
     args = ap.parse_args()
+    if args.pallas:
+        args.variants = "int8-cvt,int8-pallas"
 
     from bench import enable_compile_cache
 
@@ -182,6 +198,7 @@ def main():
         "int8-scan": (jnp.int8, mm_int8_scan),
         "int8-vpu": (jnp.int8, mm_vpu),
         "int8-splitk": (jnp.int8, mm_int8_splitk),
+        "int8-pallas": (jnp.int8, mm_int8_pallas),
     }
     for name in args.variants.split(","):
         wdtype, mm = variants[name]
