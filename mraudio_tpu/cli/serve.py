@@ -285,11 +285,23 @@ class _PrefetchedStream:
         return item
 
 
+def poisson_arrivals(n: int, rate: float, seed: int = 0) -> list:
+    """Open-loop Poisson arrival offsets (seconds): ``n`` points with
+    exponential inter-arrival gaps at ``rate`` req/s.  Seeded and
+    reproducible — the bench quotes latency-vs-λ curves on the same
+    draw across runs."""
+    rng = np.random.default_rng(seed)
+    gaps = rng.exponential(1.0 / rate, size=n)
+    gaps[0] = 0.0  # first request arrives at t=0 (work starts immediately)
+    return np.cumsum(gaps).tolist()
+
+
 def serve(model, params, requests, max_slots: int, max_new_tokens: int,
           max_prefill_batch: int = 0, steps_per_dispatch: int = 1,
           spec_width: int = 1, pipeline_depth: int = 2,
           encode_s: float = 0.0, request_stream=None, encode_batch: int = 1,
-          engine_cache: dict | None = None):
+          engine_cache: dict | None = None, arrivals=None,
+          request_timeout_s: float = 0.0):
     """Run the stream through the engine; returns (records, stats).
 
     ``requests`` is a pre-encoded list (upfront mode: encoder time is
@@ -303,12 +315,35 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
     host round trip).  Build the stream with
     ``encode_request_stream(..., host_ahead=N)`` to overlap its host
     stage with this loop's device-blocked waits (stats report the
-    stream's ``host_ahead``/``host_busy_s``)."""
+    stream's ``host_ahead``/``host_busy_s``).
+
+    ``arrivals``: per-request arrival-time offsets (seconds, aligned
+    with ``requests``) — LOAD mode: each request becomes visible to the
+    admission logic only once its offset elapses, latency is measured
+    from ARRIVAL (queueing included), and admissions take whatever has
+    arrived instead of waiting to fill a batch.  Use
+    ``poisson_arrivals`` for an open-loop Poisson process.
+
+    ``request_timeout_s``: per-request deadline (0 = none).  A request
+    older than this — queued, mid-admission, or mid-decode — is
+    CANCELLED (``ContinuousBatcher.cancel`` frees its slot mid-decode;
+    other slots' tokens are unaffected) and reported in
+    ``stats["timeouts"]`` instead of the completion records."""
     from mraudio_tpu.infer.serving import ContinuousBatcher
     from mraudio_tpu.text.postprocess import moment_str_to_list, post_process
 
-    pending = list(requests) if requests else []
-    ann_by_id = {req.request_id: ann for req, ann in pending}
+    scheduled: list = []
+    if arrivals is not None:
+        assert requests and len(arrivals) == len(requests), \
+            "arrivals must align with a pre-encoded requests list"
+        assert request_stream is None, "load mode is upfront-encoded"
+        order = sorted(range(len(requests)), key=lambda i: arrivals[i])
+        scheduled = [(float(arrivals[i]), requests[i]) for i in order]
+        pending = []
+        ann_by_id = {req.request_id: ann for req, ann in requests}
+    else:
+        pending = list(requests) if requests else []
+        ann_by_id = {req.request_id: ann for req, ann in pending}
     inline = request_stream is not None
     stream_obj = request_stream
     prime_s = 0.0
@@ -323,7 +358,7 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         else:
             pending.append(item)
             ann_by_id[item[0].request_id] = item[1]
-    if not pending:
+    if not pending and not scheduled:
         # empty annotation file / exhausted stream: a well-formed empty
         # result beats the IndexError a user-facing CLI would otherwise
         # surface from pending[0]
@@ -332,7 +367,8 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
             "requests_per_sec": 0.0,
             "encode_mode": "inline" if inline else "upfront",
         }
-    prefix_len = pending[0][0].prefix_embeds.shape[0]
+    first_req = (pending[0] if pending else scheduled[0][1])[0]
+    prefix_len = first_req.prefix_embeds.shape[0]
     # engine_cache: a caller-owned dict that keeps ONE engine alive
     # across serve() calls (a production process serves forever with one
     # engine; measurement drivers that rebuilt it per run re-paid the
@@ -373,9 +409,11 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
 
     try:
         submit_time, records = {}, []
+        done = set()  # completed or timed-out request ids
         t_start = time.time() - prime_s  # the priming encode is serving time
 
         def handle(completion):
+            done.add(completion.request_id)
             tokens = np.asarray(completion.token_ids)
             tokens[tokens == 0] = model.llm_tokenizer.eos_token_id
             raw = model.llm_tokenizer.decode(tokens, skip_special_tokens=True).strip()
@@ -413,8 +451,53 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
         # for (sec_per_decode_step vs the device-only HBM floor).
         prefill_s = decode_s = inline_encode_s = 0.0
         prefill_calls = decode_steps = 0
-        while (pending or request_stream is not None or engine.active.any()
-               or engine.admission_pending() or engine._inflight):
+        timeouts: list = []
+
+        def enforce_timeouts(now):
+            """Cancel every request older than its deadline — queued
+            (never admitted) or in the engine (slot freed mid-decode)."""
+            if not request_timeout_s:
+                return
+            overdue = [
+                rid for rid, t in submit_time.items()
+                if now - t > request_timeout_s and rid not in done
+            ]
+            for rid in overdue:
+                done.add(rid)
+                # cancel in the engine (active or mid-admission) and/or
+                # drop from the not-yet-admitted queue
+                engine.cancel(rid)
+                for k, (req, _) in enumerate(pending):
+                    if req.request_id == rid:
+                        del pending[k]
+                        break
+                ann = ann_by_id[rid]
+                timeouts.append({
+                    "_rid": rid, "qid": ann["qid"], "vid": ann["vid"],
+                    "timeout_s": round(now - submit_time[rid], 3),
+                })
+
+        while (pending or scheduled or request_stream is not None
+               or engine.active.any() or engine.admission_pending()
+               or engine._inflight):
+            now = time.time()
+            if scheduled:
+                # release arrived requests; latency clock starts at
+                # ARRIVAL (queue wait is part of the served latency)
+                while scheduled and t_start + scheduled[0][0] <= now:
+                    off, item = scheduled.pop(0)
+                    pending.append(item)
+                    submit_time[item[0].request_id] = t_start + off
+                if (not pending and not engine.active.any()
+                        and not engine.admission_pending()
+                        and not engine._inflight):
+                    # open-loop idle gap: sleep to the next arrival
+                    time.sleep(
+                        min(max(t_start + scheduled[0][0] - now, 0.0), 0.05)
+                        if scheduled else 0.0
+                    )
+                    continue
+            enforce_timeouts(now)
             if (request_stream is not None
                     and len(pending) < engine.max_prefill_batch
                     and not engine.admission_pending()):
@@ -460,7 +543,9 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
                     if admitted:
                         prefill_calls += 1
                         for req, _ in pending[:admitted]:
-                            submit_time[req.request_id] = now
+                            # load mode: the clock already started at
+                            # arrival — don't restart it at admission
+                            submit_time.setdefault(req.request_id, now)
                         del pending[:admitted]
             if engine.active.any() or engine._inflight:
                 t0 = time.time()
@@ -471,7 +556,7 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
                     handle(completion)
         elapsed = time.time() - t_start
 
-        lat = np.array([r["latency_s"] for r in records])
+        lat = np.array([r["latency_s"] for r in records] or [0.0])
         stats = {
             "requests": len(records),
             "slots": max_slots,
@@ -513,6 +598,20 @@ def serve(model, params, requests, max_slots: int, max_new_tokens: int,
                 round(decode_s / decode_steps, 4) if decode_steps else 0.0
             ),
         }
+        if arrivals is not None:
+            span = max(arrivals) - min(arrivals) if len(arrivals) > 1 else 0.0
+            stats["load"] = {
+                # offered rate over the arrival span (open-loop)
+                "offered_rps": round(
+                    (len(arrivals) - 1) / span, 4) if span else 0.0,
+                "latency_from": "arrival",
+            }
+        if request_timeout_s:
+            stats["request_timeout_s"] = request_timeout_s
+            stats["timeouts"] = len(timeouts)
+            stats["timed_out"] = [
+                {k: v for k, v in t.items() if k != "_rid"} for t in timeouts
+            ]
     except BaseException:
         # A failed dispatch may have consumed donated buffers, leaving the
         # engine poisoned (later use crashes with 'Array has been deleted'
@@ -627,6 +726,22 @@ def main(argv=None):
                         "device when --encode-mode inline, host upfront")
     parser.add_argument("--sweep-slots", default="",
                         help="comma-separated slot counts to benchmark, e.g. 1,2,4,8")
+    parser.add_argument("--arrival-rate", type=float, default=0.0,
+                        help="LOAD mode: open-loop Poisson arrivals at "
+                             "this rate (req/s); requests are pre-encoded "
+                             "and latency is measured from arrival "
+                             "(queueing included).  0 = burst (all at "
+                             "t=0, the default)")
+    parser.add_argument("--arrival-seed", type=int, default=0)
+    parser.add_argument("--request-timeout", type=float, default=0.0,
+                        help="per-request deadline in seconds; overdue "
+                             "requests are cancelled mid-decode (slot "
+                             "freed) and reported in stats.timeouts. "
+                             "0 = none")
+    parser.add_argument("--quant-encoders", action="store_true",
+                        help="int8-store the frozen encoder subtrees "
+                             "(~1.35 GB HBM freed for slots/batch; "
+                             "approximation, docs/DIVERGENCES.md)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -650,12 +765,21 @@ def main(argv=None):
 
         params = apply_trainable(params, load_checkpoint(args.checkpoint)["model"])
     params = cast_params_for_inference(params)
+    if args.quant_encoders:
+        from mraudio_tpu.models.quant_tree import quantize_subtrees
+
+        params = quantize_subtrees(
+            params, getattr(model, "ENCODER_PARAM_KEYS", ())
+        )
 
     dataset = MRDataset(
         cfg.data, annotation_path=cfg.data.annotation_file, split="eval"
     )
     limit = args.max_requests or None
     inline = args.encode_mode == "inline"
+    if args.arrival_rate and inline:
+        raise SystemExit("--arrival-rate is upfront-encoded load mode; "
+                         "use --encode-mode upfront")
     device_embeds = (args.embeds == "device"
                      or (args.embeds == "auto" and inline))
     encode_batch = args.encode_batch or args.max_prefill_batch or args.slots
@@ -676,6 +800,9 @@ def main(argv=None):
                                         host_ahead=args.encode_ahead,
                                         upload_ahead=bool(args.upload_ahead))
                   if inline else None)
+        arrivals = (poisson_arrivals(len(requests), args.arrival_rate,
+                                     args.arrival_seed)
+                    if args.arrival_rate and requests else None)
         return serve(model, params, requests, slots,
                      model.cfg.max_new_tokens,
                      max_prefill_batch=args.max_prefill_batch,
@@ -683,7 +810,8 @@ def main(argv=None):
                      spec_width=args.spec_width,
                      pipeline_depth=args.pipeline_depth,
                      encode_s=encode_s, request_stream=stream,
-                     encode_batch=encode_batch)
+                     encode_batch=encode_batch, arrivals=arrivals,
+                     request_timeout_s=args.request_timeout)
 
     if args.sweep_slots:
         sweep = []
