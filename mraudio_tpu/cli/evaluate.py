@@ -82,6 +82,11 @@ def main(argv=None):
     parser.add_argument("--params-store", default="",
                         help="prebuilt param store from mraudio_tpu.cli.convert "
                              "(skips init + torch conversion at launch)")
+    parser.add_argument("--quant-encoders", action="store_true",
+                        help="int8-store the frozen encoder subtrees "
+                             "(~1.35 GB HBM freed; approximation — the "
+                             "reference keeps encoders fp16, see "
+                             "docs/DIVERGENCES.md)")
     parser.add_argument("--fast", action="store_true",
                         help="the measured stacked-throughput preset "
                         "(+17%% at QVH full size): temporal-residual ViT "
@@ -93,6 +98,8 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO)
     cfg = build_config(args)
+    if args.quant_encoders:
+        cfg = cfg.replace(quant_encoders=True)
     if args.fast:
         from mraudio_tpu.config import apply_fast_preset
 

@@ -585,6 +585,13 @@ class RunConfig(_ConfigBase):
     data: DataConfig = field(default_factory=DataConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    # Eval/serve-side int8 storage of the frozen encoder subtrees
+    # (quant_tree.quantize_subtrees; dequant fuses into each weight
+    # read inside the jitted encode).  Frees ~1.35 GB of HBM beside the
+    # 7B decode cache — the margin for one more eval batch row.  Same
+    # approximation status as train.quant_frozen (the reference keeps
+    # encoders fp16): opt-in, off for parity runs.
+    quant_encoders: bool = False
     # Paths to converted pretrained weights (empty = random init).
     llm_weights: str = ""
     vit_weights: str = ""

@@ -69,6 +69,12 @@ def run_inference(
     from mraudio_tpu.models.casting import cast_params_for_inference
 
     params = cast_params_for_inference(params)
+    if getattr(cfg, "quant_encoders", False):
+        from mraudio_tpu.models.quant_tree import quantize_subtrees
+
+        params = quantize_subtrees(
+            params, getattr(model, "ENCODER_PARAM_KEYS", ())
+        )
 
     mesh_ctx = None
     if cfg.mesh.num_devices > 1:

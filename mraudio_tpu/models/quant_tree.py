@@ -93,6 +93,47 @@ def dequantize_frozen(flat: dict, dtype=jnp.bfloat16) -> dict:
     return out
 
 
+def quantize_subtrees(params: dict, keys) -> dict:
+    """Nested-tree front end for the eval graph: quantize the large
+    float kernels of ``params[k]`` for every ``k`` in ``keys`` (the
+    frozen encoder components, ``XInstructBLIP.ENCODER_PARAM_KEYS``).
+    The model dequantizes on use inside its jitted programs
+    (``_encode_modality_tokens``), where XLA fuses the convert×scale
+    into each matmul's weight read — so the ~2.7 GB bf16 encoder stack
+    is HBM-resident at ~1.35 GB, the margin that fits one more eval
+    batch row beside the 7B decode cache on a 16 GB chip.  Same
+    approximation status as ``train.quant_frozen`` (the reference keeps
+    its encoders fp16): opt-in, documented, off for parity runs."""
+    from flax import traverse_util
+
+    out = dict(params)
+    for k in keys:
+        sub = out.get(k)
+        if not isinstance(sub, dict):
+            continue
+        flat = traverse_util.flatten_dict(sub)
+        out[k] = traverse_util.unflatten_dict(quantize_frozen(flat))
+    return out
+
+
+def dequantize_subtrees(params: dict, keys, dtype=jnp.bfloat16) -> dict:
+    """Inverse of :func:`quantize_subtrees`; call inside jit.  Subtrees
+    with no quantized leaves pass through untouched (structural check,
+    free at trace time)."""
+    from flax import traverse_util
+
+    out = dict(params)
+    for k in keys:
+        sub = out.get(k)
+        if not isinstance(sub, dict):
+            continue
+        flat = traverse_util.flatten_dict(sub)
+        if not any(p[-1] == QKEY for p in flat):
+            continue
+        out[k] = traverse_util.unflatten_dict(dequantize_frozen(flat, dtype))
+    return out
+
+
 def quantized_bytes_saved(flat: dict) -> int:
     """Diagnostic: bytes saved vs. bf16 storage of the quantized leaves."""
     saved = 0

@@ -379,6 +379,13 @@ class XInstructBLIP:
 
         Returns dict modality → (B, T, Q, D_llm)."""
         cfg = self.cfg
+        # Opt-in eval-side encoder int8 (quant_tree.quantize_subtrees):
+        # restore bf16 views here, inside the jitted program, where the
+        # convert×scale fuses into each matmul's weight read.  A
+        # no-quantized-leaves tree passes through at trace time for free.
+        from mraudio_tpu.models.quant_tree import dequantize_subtrees
+
+        params = dequantize_subtrees(params, self.ENCODER_PARAM_KEYS)
         out = {}
         b = None
 

@@ -136,3 +136,62 @@ def test_trainer_quant_frozen_matches_unquantized(tmp_path, monkeypatch, split):
             quant[k], base[k], rtol=1e-5, atol=1e-7,
             err_msg=f"trainable {k} diverged under quant_frozen",
         )
+
+
+def test_eval_quant_encoders_generate(tmp_path, monkeypatch):
+    """RunConfig.quant_encoders: the eval graph consumes int8-stored
+    encoder subtrees (dequant fused inside _encode_modality_tokens) and
+    still produces well-formed records end-to-end.  Tiny kernels sit
+    under the production eligibility floor, so the floor is lowered to
+    force real quantized leaves through the jitted graph."""
+    from mraudio_tpu.infer.evaluate import run_inference
+    from mraudio_tpu.models import quant_tree
+    from mraudio_tpu.models.quant_tree import QKEY, quantize_subtrees
+
+    monkeypatch.setattr(quant_tree, "MIN_SIZE", 128)
+    monkeypatch.setattr(quant_tree, "MIN_DIM0", 2)
+
+    cfg = RunConfig(
+        model=tiny_model_config(), data=tiny_data_config(n_frms=4),
+        quant_encoders=True,
+    )
+    model = XInstructBLIP(cfg.model, audio_cfg=cfg.data.audio)
+    params = model.init_params(jax.random.PRNGKey(0))
+    # structure check: quantize_subtrees actually rewrote encoder kernels
+    q = quantize_subtrees(params, model.ENCODER_PARAM_KEYS)
+    flat = traverse_util.flatten_dict(q["vit"])
+    assert any(p[-1] == QKEY for p in flat)
+    # llm subtree untouched
+    assert q["llm"] is params["llm"]
+
+    anns = [
+        {"vid": f"v{i}", "qid": i, "query": "a person waves",
+         "duration": 60, "relevant_windows": [[5, 12]]}
+        for i in range(2)
+    ]
+    result = run_inference(
+        cfg, model=model, params=params, annotations=anns,
+        batch_size=2, num_workers=0,
+    )
+    assert len(result["records"]) == 2
+    for r in result["records"]:
+        assert "pred_relevant_windows" in r
+
+
+def test_quantize_subtrees_roundtrip_close():
+    """dequantize(quantize(w)) is within the absmax/127 grid error."""
+    from mraudio_tpu.models.quant_tree import (
+        dequantize_subtrees, quantize_subtrees,
+    )
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 1024)).astype(np.float32)
+    tree = {"vit": {"block": {"mlp": {"kernel": jnp.asarray(w)}}}}
+    q = quantize_subtrees(tree, ("vit",))
+    back = dequantize_subtrees(q, ("vit",), dtype=jnp.float32)
+    got = np.asarray(back["vit"]["block"]["mlp"]["kernel"])
+    step = np.abs(w).max(axis=0, keepdims=True) / 127.0
+    assert np.all(np.abs(got - w) <= step * 0.51 + 1e-6)
+    # non-quantized tree passes through dequantize_subtrees untouched
+    plain = dequantize_subtrees(tree, ("vit",))
+    assert plain["vit"]["block"]["mlp"]["kernel"] is tree["vit"]["block"]["mlp"]["kernel"]
