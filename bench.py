@@ -435,12 +435,26 @@ def run_train(profile: str = "train", steps: int | None = None,
         # measured epoch amortizes exactly as recorded.  Keep steps a
         # multiple of W or the tail window under-amortizes.
         window = int(os.environ.get("MRAUDIO_BENCH_TRAIN_WINDOW", "12"))
-        steps = steps or window
+        # TWO windows by default (r5): with one window per epoch the
+        # double-buffered upload (train.upload_overlap) never engages —
+        # there is no next window to stage for.  At 2 windows the
+        # second window's ~1.4 GB encoder upload streams while the
+        # first window's LLM steps run, so the measured sec_per_step
+        # includes one visible upload instead of two (the steady-state
+        # limit is ~zero visible uploads; a 24-step epoch shows the
+        # first-window cold upload amortized over 2W steps).
+        # MRAUDIO_BENCH_TRAIN_OVERLAP=1 opts in to the double-buffered
+        # upload — NOT the default: the B=2 flagship config has < 1.4 GB
+        # of headroom over program B's peak and measured a mid-window
+        # RESOURCE_EXHAUSTED with the staged copy resident (round 5);
+        # B=1 (BATCH=1) is where the overlap pays on one chip.
+        steps = steps or 2 * window
+        overlap = os.environ.get("MRAUDIO_BENCH_TRAIN_OVERLAP", "0") == "1"
         tc = TrainConfig(max_epoch=2, batch_size=batch, warmup_steps=2,
                          accum_grad_iters=2, output_dir="/tmp/bench_train_out",
                          val_freq=10, save_freq=0, num_workers=1,
                          quant_frozen="int8", split_encode_step=True,
-                         encoder_window=window)
+                         encoder_window=window, upload_overlap=overlap)
     anns = [
         {"vid": f"t{i}", "qid": i, "query": "a person trains the benchmark",
          "duration": 150, "relevant_windows": [[10, 30]]}
@@ -493,6 +507,8 @@ def run_train(profile: str = "train", steps: int | None = None,
         "seq_len": seq,
         "compile_epoch_s": round(compile_epoch_s, 1),
         "device": jax.devices()[0].device_kind,
+        **({"upload_overlap": tc.upload_overlap,
+            "encoder_window": tc.encoder_window} if not tiny else {}),
         **device_true,
     }
     if "device_true_sec_per_step" in result:

@@ -569,11 +569,17 @@ class TrainConfig(_ConfigBase):
     # while window k's LLM steps run, instead of serializing in front
     # of window k+1 (r4 measured the serialized upload at ~45 s per
     # 12-step window through the remote tunnel ≈ 3.8 s/step of pure
-    # wire wait).  Costs the staged subtree's bytes of extra HBM during
-    # the window's steps; staging falls back to the serialized path on
-    # RESOURCE_EXHAUSTED.  Bit-identical either way (same transfers,
-    # same unpack, different timing).
-    upload_overlap: bool = True
+    # wire wait).  Costs the staged subtree's bytes of extra HBM for
+    # the whole window: OPT-IN because the flagship full-size B=2
+    # single-chip config has LESS than 1.4 GB of headroom over program
+    # B's peak — measured RESOURCE_EXHAUSTED mid-window (round 5) —
+    # while B=1 and model-sharded meshes have room.  Staging consults
+    # device memory_stats when available and falls back to the
+    # serialized path when headroom < 1.2x the packed bytes (or on a
+    # staging RESOURCE_EXHAUSTED).  Bit-identical either way (same
+    # transfers, same unpack, different timing;
+    # tests/test_encoder_window.py).
+    upload_overlap: bool = False
 
 
 @dataclass(frozen=True)

@@ -285,9 +285,43 @@ class Trainer:
         """Double-buffer half of the windowed upload: issue the packed
         transfers (async) and return the staged buffers, or None when
         the chip has no headroom for the extra copy (falls back to the
-        serialized upload — same bytes, same unpack, later timing)."""
+        serialized upload — same bytes, same unpack, later timing).
+
+        Headroom guard: a staging device_put that *lands* can still OOM
+        the WINDOW — the buffers stay resident through every program-B
+        step, whose own temp peak is what sized the config (full-size
+        B=2 measured exactly this mid-window RESOURCE_EXHAUSTED).  When
+        the runtime exposes memory_stats, require free HBM ≥ 1.2× the
+        packed bytes before staging; runtimes without stats rely on the
+        user having opted in knowingly (config.upload_overlap docs)."""
+        upload = self._enc_upload_fn(frozen_enc)
+        nbytes = getattr(self, "_enc_nbytes", None)
+        if nbytes is None:
+            nbytes = self._enc_nbytes = sum(
+                np.asarray(v).nbytes for v in frozen_enc.values()
+            )
         try:
-            return self._enc_upload_fn(frozen_enc).stage()
+            stats = jax.local_devices()[0].memory_stats()
+        except Exception:
+            stats = None
+        if stats and stats.get("bytes_limit"):
+            # peak_bytes_in_use already includes window 1's program-B
+            # temp peak (it ran before the first staging attempt), so
+            # limit - peak is the true margin the staged copy must fit
+            high = stats.get("peak_bytes_in_use") or stats.get(
+                "bytes_in_use", 0
+            )
+            free = stats["bytes_limit"] - high
+            if free < nbytes * 1.1:
+                logger.warning(
+                    "upload_overlap: %.2f GB HBM above the observed peak "
+                    "< 1.1x the %.2f GB packed subtree; staying serialized",
+                    free / 2**30, nbytes / 2**30,
+                )
+                self._overlap_ok = False
+                return None
+        try:
+            return upload.stage()
         except Exception as e:
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise

@@ -46,6 +46,10 @@ if REPO_ROOT not in sys.path:
 def worker(rank: int, tmpdir: str) -> None:
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
+        # contention-tolerant rendezvous (see tests/conftest.py): the
+        # 1-core host may starve a collective thread past the 40 s abort
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=900"
     )
     import jax
 

@@ -20,9 +20,15 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("MRAUDIO_COMPILE_CACHE", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in _flags:
+    # 8 virtual-device collectives need all 8 XLA:CPU threads at each
+    # rendezvous within the termination timeout (default 40 s) or the
+    # PROCESS aborts; on this 1-core host a concurrent benchmark can
+    # starve a thread past that under load.  Raise both timeouts.
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = _flags
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; only the config
 # option reliably pins tests to the virtual 8-device CPU platform.

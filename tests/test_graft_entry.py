@@ -32,7 +32,11 @@ def test_dryrun_multichip_self_provisions_cold():
         env=_cold_env(),
         capture_output=True,
         text=True,
-        timeout=900,
+        # generous: the cold 8-virtual-device compile shares ONE host
+        # core with whatever else runs (concurrent TPU benchmarks were
+        # measured to push it past 15 min; the collective rendezvous
+        # timeouts are raised for the same reason, conftest.py)
+        timeout=2400,
     )
     assert proc.returncode == 0, f"stderr:\n{proc.stderr[-3000:]}"
     assert "ok" in proc.stdout
