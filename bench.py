@@ -776,12 +776,24 @@ def run_serve(profile: str = "serve") -> dict:
     # figure above stays the continuity headline.  λ defaults below the
     # measured burst capacity (stable queue); override with
     # MRAUDIO_BENCH_SERVE_LAMBDA / _TIMEOUT.
+    # Two default λ points make a minimal latency-vs-λ curve.  The
+    # engine is a BATCH server: its service rate grows with queue depth
+    # (a solo request pays the full ~19 s weight-stream decode + its
+    # host-resident prefix upload; 4 concurrent slots share the sweep →
+    # the 0.52 req/s burst rate).  So the sparse point (λ=0.05, gaps ≳
+    # the solo service time) measures the open-loop SOLO latency floor,
+    # and the dense point (λ=0.35) measures the batching regime where
+    # queueing raises concurrency and throughput — a non-monotonic
+    # utilization curve that is real, not a bug (docs/BENCHMARKS.md
+    # round-5 serving notes).
     load_stats = None
-    lam = float(env("LAMBDA", "0" if tiny else "0.35"))
-    if lam > 0:
+    lam_env = env("LAMBDA", "0" if tiny else "0.05,0.35")
+    lams = [float(x) for x in lam_env.split(",") if float(x) > 0]
+    if lams:
         from mraudio_tpu.cli.serve import poisson_arrivals
 
-        timeout_s = float(env("TIMEOUT", "60"))
+        timeout_s = float(env("TIMEOUT", "120"))
+        load_stats = []
         try:
             t0 = _time.time()
             reqs = encode_requests(model, params, ds, limit=n_requests,
@@ -789,33 +801,41 @@ def run_serve(profile: str = "serve") -> dict:
                                    encode_batch=encode_batch,
                                    host_ahead=encode_ahead)
             load_encode_s = _time.time() - t0
-            _, ls = serve(
-                model, params, reqs, slots, model_cfg.max_new_tokens,
-                max_prefill_batch=mpb, spec_width=spec,
-                steps_per_dispatch=steps, pipeline_depth=depth,
-                encode_s=load_encode_s, encode_batch=encode_batch,
-                engine_cache=engine_holder,
-                arrivals=poisson_arrivals(len(reqs), lam, seed=0),
-                request_timeout_s=timeout_s,
-            )
-            load_stats = {
-                "lambda_rps": lam,
-                "offered_rps": ls.get("load", {}).get("offered_rps"),
-                "requests_per_sec": ls["requests_per_sec"],
-                "latency_p50_s": ls["latency_p50_s"],
-                "latency_p95_s": ls["latency_p95_s"],
-                "latency_from": "arrival",
-                "request_timeout_s": timeout_s,
-                "timeouts": ls.get("timeouts", 0),
-                "requests": ls["requests"],
-            }
-            print(f"serve load λ={lam}: {ls['requests_per_sec']} req/s "
-                  f"p95={ls['latency_p95_s']} timeouts={ls.get('timeouts', 0)}",
-                  file=__import__("sys").stderr, flush=True)
+            for lam in lams:
+                # two passes, record the SECOND: sparse arrivals admit at
+                # widths the burst warmup never compiled (width-1/odd
+                # admission jits), and that cold compile polluted the
+                # first measured λ leg by up to 4x (observed: 0.148 vs
+                # 0.239 req/s at λ=0.35 cold vs warm)
+                for _pass in range(2):
+                    _, ls = serve(
+                        model, params, reqs, slots, model_cfg.max_new_tokens,
+                        max_prefill_batch=mpb, spec_width=spec,
+                        steps_per_dispatch=steps, pipeline_depth=depth,
+                        encode_s=load_encode_s, encode_batch=encode_batch,
+                        engine_cache=engine_holder,
+                        arrivals=poisson_arrivals(len(reqs), lam, seed=0),
+                        request_timeout_s=timeout_s,
+                    )
+                load_stats.append({
+                    "lambda_rps": lam,
+                    "offered_rps": ls.get("load", {}).get("offered_rps"),
+                    "requests_per_sec": ls["requests_per_sec"],
+                    "latency_p50_s": ls["latency_p50_s"],
+                    "latency_p95_s": ls["latency_p95_s"],
+                    "latency_from": "arrival",
+                    "request_timeout_s": timeout_s,
+                    "timeouts": ls.get("timeouts", 0),
+                    "requests": ls["requests"],
+                })
+                print(f"serve load λ={lam}: {ls['requests_per_sec']} req/s "
+                      f"p95={ls['latency_p95_s']} "
+                      f"timeouts={ls.get('timeouts', 0)}",
+                      file=__import__("sys").stderr, flush=True)
         except jax.errors.JaxRuntimeError as e:
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
-            print("serve load leg ResourceExhausted; skipped",
+            print("serve load leg ResourceExhausted; partial",
                   file=__import__("sys").stderr, flush=True)
             engine_holder.clear()
     if "engine" in engine_holder:
@@ -838,7 +858,7 @@ def run_serve(profile: str = "serve") -> dict:
     result["runs_latency_p95_s"] = [
         st.get("latency_p95_s") for st in all_stats
     ]
-    if load_stats is not None:
+    if load_stats:
         result["load"] = load_stats
     cache = {}
     if os.path.exists(SERVE_CACHE_PATH):

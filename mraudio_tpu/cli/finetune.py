@@ -57,9 +57,30 @@ def main(argv=None):
              "it is 24%% faster per step). On a multi-chip mesh, shard "
              "over the model axis instead.",
     )
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host (pod) launch: call jax.distributed.initialize() "
+             "before any jax use — auto-configured on TPU pods (each host "
+             "discovers its coordinator/rank from the TPU metadata; no "
+             "env-var dance like the reference's init_distributed_mode, "
+             "finetune.py:9-30).  Run the SAME command on every host: "
+             "scripts/train/pod_qvh.sh.  Loader sharding, val allgather, "
+             "metric sync, and rank-0 checkpoint gating all key off "
+             "jax.process_index()/process_count() (proven at "
+             "process_count=2 by scripts/multihost_dryrun.py).",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()
+        logging.getLogger("mraudio_tpu").info(
+            "distributed: process %d/%d, %d local + %d global devices",
+            jax.process_index(), jax.process_count(),
+            len(jax.local_devices()), len(jax.devices()),
+        )
 
     from mraudio_tpu.config import (
         DataConfig, RunConfig, full_model_config, tiny_data_config,
