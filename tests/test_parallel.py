@@ -42,8 +42,14 @@ def test_llm_partition_rules():
     assert spec_of("llm", "layer_0", "mlp", "down_proj", "kernel") == P("model", None)
     assert spec_of("llm", "layer_0", "attn", "q_proj", "lora_b") == P(None, "model")
     assert spec_of("llm", "lm_head", "kernel") == P(None, "model")
-    # encoders replicated
-    assert spec_of("vit", "block_0", "attn", "q", "kernel") == P()
+    # frozen encoders: FSDP over the data axis (round 5) — the largest
+    # evenly-tiling dim carries "data"; fsdp_encoders=False restores
+    # full replication
+    vit_q = spec_of("vit", "block_0", "attn", "q", "kernel")
+    assert "data" in [a for a in vit_q if a is not None]
+    assert "model" not in [a for a in vit_q if a is not None]
+    repl = param_shardings(params, mesh, fsdp_encoders=False)
+    assert repl["vit"]["block_0"]["attn"]["q"]["kernel"].spec == P()
 
 
 def test_sharded_generate_matches_single_device(tmp_path):
