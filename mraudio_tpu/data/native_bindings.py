@@ -71,6 +71,11 @@ def load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ]
+        lib.mr_write_test_video_vfr.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
         lib.mr_write_test_audio.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.c_longlong, ctypes.c_int,
@@ -163,6 +168,26 @@ def write_test_video(lib, path: str, frames: np.ndarray, fps: float) -> None:
     )
     if rc != 0:
         raise IOError(f"write_test_video failed: {_err(lib)}")
+
+
+def write_test_video_vfr(lib, path: str, frames: np.ndarray, fps: float,
+                         pts: np.ndarray) -> None:
+    """Variable-frame-rate test media: per-frame presentation timestamps
+    in 1/``fps`` ticks.  Fabricates the consumer-VBR regime where
+    avg_frame_rate and r_frame_rate disagree — the decoder's post-seek
+    pts→frame-number math must hold (zero egress: no real VBR corpus)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    pts = np.ascontiguousarray(pts, dtype=np.int64)
+    n, h, w, _ = frames.shape
+    assert pts.shape == (n,)
+    rc = lib.mr_write_test_video_vfr(
+        path.encode(),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n, h, w, fps,
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+    )
+    if rc != 0:
+        raise IOError(f"write_test_video_vfr failed: {_err(lib)}")
 
 
 def write_media(

@@ -509,8 +509,30 @@ int mr_transcode(const char* src_path, const char* dst_path, int w, int h) {
 // ---------------------------------------------------------------------------
 
 // Encode |n| RGB24 frames (h x w) at |fps| into an mp4 at |path|.
+// Forward declaration: the CFR writer delegates to the VFR one with
+// pts = frame index.
+int mr_write_test_video_vfr(const char* path, const unsigned char* rgb,
+                            int n, int h, int w, double fps,
+                            const long long* pts);
+
 int mr_write_test_video(const char* path, const unsigned char* rgb, int n,
                         int h, int w, double fps) {
+  return mr_write_test_video_vfr(path, rgb, n, h, w, fps, nullptr);
+}
+
+// Variable-frame-rate test writer: |pts| (codec time_base ticks, i.e.
+// units of 1/fps; nullptr = CFR pts=i) lets tests fabricate the
+// real-world case where a stream's presentation timestamps DRIFT from
+// the nominal rate — then the container's avg_frame_rate
+// (frames/duration) and r_frame_rate (pts deltas) disagree, which is
+// exactly the regime the decoder's post-seek pts->frame-number math
+// (index_rate(), above) has to survive.  Real QVHighlights/Charades
+// videos are consumer VBR encodes where this happens constantly; with
+// zero egress, this writer is how we get such a file to test against
+// (tests/test_native_decode.py::test_vfr_*).
+int mr_write_test_video_vfr(const char* path, const unsigned char* rgb,
+                            int n, int h, int w, double fps,
+                            const long long* pts) {
   AVFormatContext* fmt = nullptr;
   avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
   if (!fmt) {
@@ -574,7 +596,7 @@ int mr_write_test_video(const char* path, const unsigned char* rgb, int n,
     int stride[1] = {w * 3};
     av_frame_make_writable(frame);
     sws_scale(sws, src, stride, 0, h, frame->data, frame->linesize);
-    frame->pts = i;
+    frame->pts = pts ? pts[i] : i;
     avcodec_send_frame(codec, frame);
     write_packets();
   }
