@@ -681,6 +681,12 @@ def run_serve(profile: str = "serve") -> dict:
     params = cast_params_for_inference(
         model.init_params(jax.random.PRNGKey(0))
     )
+    if env("QUANT_ENCODERS", "0") == "1":
+        # int8 encoder storage (approximation; frees ~1.35 GB for an
+        # extra decode slot — the slots=5 capacity probe)
+        from mraudio_tpu.models.quant_tree import quantize_subtrees
+
+        params = quantize_subtrees(params, model.ENCODER_PARAM_KEYS)
     anns = [
         {"vid": f"srv{i}", "qid": i,
          "query": "a person serves the benchmark request",
