@@ -64,11 +64,14 @@ LLM_RULES: list[tuple[str, P]] = [
 # applies a generic rule to every leaf under these prefixes: shard the
 # largest dimension that tiles evenly over ("data",).
 FSDP_PREFIXES = (
+    # The four big frozen towers only (~1.3B of the ~1.33B frozen
+    # non-LLM params).  "vit/" and "beats/" also cover the VideoLLaMA
+    # assembly (same top-level keys).  Deliberately NOT included: the
+    # tiny per-modality ln/proj/query_tokens leaves (~25 MB total —
+    # replication is free and X-InstructBLIP's "audio_proj" name
+    # collides with VideoLLaMA's TRAINABLE audio projector, which must
+    # stay replicated so its grads/optimizer state aren't data-sharded).
     "vit/", "beats/", "video_qformer/", "audio_qformer/",
-    "video_ln/", "audio_ln/", "video_proj/", "audio_proj/",
-    "video_query_tokens", "audio_query_tokens",
-    # VideoLLaMA assembly keys
-    "vision/", "stc/", "audio_tower/", "audio_proj_mlp/",
 )
 
 
