@@ -183,3 +183,28 @@ def test_serve_request_timeout(tmp_path):
     assert len(rows) == stats["requests"]
     qids = {r["qid"] for r in rows} | {t["qid"] for t in stats["timed_out"]}
     assert qids == set(range(4))
+
+
+def test_cancel_with_kv_keep_engine(setup):
+    """Cancellation on the compacted-cache (kv_keep) engine: survivors'
+    token streams stay bit-identical and the freed slot readmits."""
+    model, params, s, d = setup
+    cfg = model.cfg.replace(kv_keep=8, kv_keep_obs=4, kv_keep_sink=2)
+    kmodel = type(model)(cfg, None)
+
+    def engine():
+        return ContinuousBatcher(kmodel, params, prefix_len=s,
+                                 max_new_tokens=5, eos_id=2, max_slots=2)
+
+    reqs = _requests(3, s, d, seed=7)
+    base = _drain(engine(), reqs)
+    assert set(base) == {0, 1, 2}
+
+    e = engine()
+    got = _drain(e, _requests(3, s, d, seed=7), cancel_id=0,
+                 cancel_after_tokens=1)
+    assert 0 not in got
+    # request 2 was admitted into the slot request 0 freed; both
+    # survivors match the no-cancel run exactly
+    for rid in (1, 2):
+        assert got[rid] == base[rid]
