@@ -269,6 +269,20 @@ class LlamaConfig(_ConfigBase):
     # one layer (XLA cannot interleave rematted blocks across layers),
     # which is what lets the 7B B=1 train step fit a 16 GB chip.
     scan_layers: bool = False
+    # Megatron-style sequence parallelism: annotate the decoder's
+    # residual stream (B, S, D) with S sharded over the ``model`` mesh
+    # axis at block boundaries.  GSPMD then runs RMSNorms, residual
+    # adds, RoPE and the dropout mask seq-sharded and converts each
+    # block's two tensor-parallel all-reduces into reduce-scatter +
+    # all-gather pairs (same bytes on the wire, but the between-layers
+    # activations — and the remat-backward's saved residuals — shrink by
+    # the model-axis width).  A no-op outside a mesh context, when the
+    # model axis is 1, or on 1-token decode steps; an S that doesn't
+    # tile the axis (QVH's 5,353-token interleave) is fine — GSPMD pads
+    # the last shard.  Pure layout change: forward is allclose (not bitwise — the
+    # lm_head/attention GEMMs re-block).  Measured memory effect at
+    # production shape is recorded by ``sweep_fullsize_meshes``.
+    seq_shard: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -33,6 +33,35 @@ from mraudio_tpu.config import LlamaConfig, LoraConfig
 from mraudio_tpu.models.layers import NEG_INF, RMSNorm
 
 
+def seq_shard(x: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    """Megatron-style sequence-parallel annotation on the residual
+    stream (config ``seq_shard``): pin (B, S, D) to
+    ``P(data?, "model", None)`` so GSPMD keeps the between-layers
+    activations (norms, residual adds, saved remat inputs) seq-sharded
+    over the ``model`` axis, turning each block's two all-reduces into
+    reduce-scatter + all-gather pairs.  Reads the ambient mesh set by
+    ``jax.set_mesh`` (trainer/evaluate); silently a no-op when there is
+    no mesh, the model axis is 1, or S is too short to split (decode
+    steps and sub-2-tokens-per-shard prefixes).  S need NOT tile the
+    model axis — GSPMD pads the last shard internally (QVH's interleave
+    is 5,353 tokens, indivisible by any axis width).
+    """
+    if not cfg.seq_shard or x.ndim != 3:
+        return x
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or mesh.empty:
+        return x
+    shape = mesh.shape
+    m = shape.get("model", 1)
+    if m <= 1 or x.shape[1] < 2 * m:
+        return x
+    d = shape.get("data", 1)
+    batch_axis = "data" if (d > 1 and x.shape[0] % d == 0) else None
+    from jax.sharding import PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(x, P(batch_axis, "model", None))
+
+
 def quantize_kv(x: jax.Array):
     """Per-(row, position, head) absmax int8 quantization of K/V.
 
@@ -752,7 +781,7 @@ class LlamaBlock(nn.Module):
             h, mask, positions, cache, cache_index, deterministic,
             kv_valid=kv_valid, causal=causal, obs_start=obs_start,
         )
-        x = x + h
+        x = seq_shard(x + h, self.cfg)
         h = RMSNorm(epsilon=self.cfg.rms_norm_eps, name="post_attn_norm")(x)
         mlp_cls = LlamaMlp
         if self.cfg.grad_checkpoint:
@@ -763,7 +792,7 @@ class LlamaBlock(nn.Module):
             # MLP separately splits the block-local peak.
             mlp_cls = nn.remat(LlamaMlp, static_argnums=(2,))
         h = mlp_cls(self.cfg, self.lora, name="mlp")(h, deterministic)
-        return x + h, new_cache
+        return seq_shard(x + h, self.cfg), new_cache
 
 
 class LlamaModel(nn.Module):
@@ -859,7 +888,7 @@ class LlamaModel(nn.Module):
         causal: bool = False,
         obs_start: Optional[int] = None,  # abs col where the SnapKV obs window starts
     ):
-        x = inputs_embeds.astype(jnp.dtype(self.cfg.dtype))
+        x = seq_shard(inputs_embeds.astype(jnp.dtype(self.cfg.dtype)), self.cfg)
         if self.cfg.scan_layers:
             # cache: stacked pytree with leading (L,) axis (init_cache)
             x, scanned_cache = self.layers(
