@@ -87,6 +87,11 @@ def main(argv=None):
                              "(~1.35 GB HBM freed; approximation — the "
                              "reference keeps encoders fp16, see "
                              "docs/DIVERGENCES.md)")
+    parser.add_argument(
+        "--seq-shard", action="store_true",
+        help="sequence parallelism for the prefill on model>1 meshes "
+             "(LlamaConfig.seq_shard); predictions are identical.",
+    )
     parser.add_argument("--fast", action="store_true",
                         help="the measured stacked-throughput preset "
                         "(+17%% at QVH full size): temporal-residual ViT "
@@ -100,6 +105,9 @@ def main(argv=None):
     cfg = build_config(args)
     if args.quant_encoders:
         cfg = cfg.replace(quant_encoders=True)
+    if args.seq_shard:
+        cfg = cfg.replace(model=cfg.model.replace(
+            llm=cfg.model.llm.replace(seq_shard=True)))
     if args.fast:
         from mraudio_tpu.config import apply_fast_preset
 

@@ -58,6 +58,14 @@ def main(argv=None):
              "over the model axis instead.",
     )
     parser.add_argument(
+        "--seq-shard", action="store_true",
+        help="sequence parallelism on model>1 meshes: shard the "
+             "decoder's residual-stream S axis over the model axis "
+             "between the TP matmuls (LlamaConfig.seq_shard; "
+             "-1.1 GiB/device train temps at (2,4) production shape, "
+             "outputs identical — docs/BENCHMARKS.md round 5).",
+    )
+    parser.add_argument(
         "--distributed", action="store_true",
         help="multi-host (pod) launch: call jax.distributed.initialize() "
              "before any jax use — auto-configured on TPU pods (each host "
@@ -127,6 +135,9 @@ def main(argv=None):
         llm_weights=args.model_path,
         beats_weights=args.audio_encoder,
     )
+    if args.seq_shard:
+        cfg = cfg.replace(model=cfg.model.replace(
+            llm=cfg.model.llm.replace(seq_shard=True)))
     if args.single_chip:
         cfg = cfg.replace(
             model=cfg.model.replace(
