@@ -55,11 +55,16 @@ def seq_shard(x: jax.Array, cfg: LlamaConfig) -> jax.Array:
     m = shape.get("model", 1)
     if m <= 1 or x.shape[1] < 2 * m:
         return x
-    d = shape.get("data", 1)
-    batch_axis = "data" if (d > 1 and x.shape[0] % d == 0) else None
+    if x.shape[0] % shape.get("data", 1):
+        # constraint axes are exact, not hints: P(None, ...) on the
+        # batch dim would FORCE replication of a data-sharded batch,
+        # and P.UNCONSTRAINED collapses the padded uneven-S sharding to
+        # replicated (measured) — when B doesn't tile the data axis
+        # (OOM-fallback odd batches), skip SP rather than degrade.
+        return x
     from jax.sharding import PartitionSpec as P
 
-    return jax.lax.with_sharding_constraint(x, P(batch_axis, "model", None))
+    return jax.lax.with_sharding_constraint(x, P("data", "model", None))
 
 
 def quantize_kv(x: jax.Array):

@@ -122,6 +122,10 @@ def test_seq_shard_noop_guards():
         # interleave divides by nothing
         ragged = jax.jit(lambda x: seq_shard(x, cfg))(jnp.ones((2, 16, 64))[:, :15])
         assert not ragged.sharding.is_fully_replicated
+        # odd batch that doesn't tile the data axis: skip SP rather
+        # than force batch replication
+        odd_b = jnp.ones((3, 16, 64))
+        assert seq_shard(odd_b, cfg) is odd_b
 
 
 def test_seq_shard_uneven_matches(base):
